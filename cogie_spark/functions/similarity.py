@@ -1,0 +1,212 @@
+"""Vectorized pairwise scorers — the cross-encoder replacement.
+
+The reference scores each (mention, candidate) pair with a BERT
+cross-encoder in Arrow-sized batches
+(/root/reference/cogie/models/el/crossencoder.py:92-101, invoked from
+cogie/toolkit/el/el_toolkit.py:631-645). Our deterministic stand-ins are
+classic record-linkage scorers, computed over whole Arrow batches inside
+pandas UDFs — one batch in, one float series out, zero per-row Spark
+Python (BASELINE.json north rule).
+
+Scorers:
+- ``jaro_winkler``      : string similarity (names/titles).
+- ``token_set_ratio``   : Levenshtein ratio over sorted unique tokens.
+- ``tfidf_cosine``      : cosine over hashed TF vectors with IDF weights
+                          (a broadcast doc-frequency dict stands in for the
+                          reference's precomputed candidate encodings,
+                          cogie/models/el/biencoder.py:127-128).
+- ``cosine_native``     : pure-expression dot/norm cosine for
+                          array<double> embedding columns (no Python).
+
+The DP Levenshtein runs in numpy over the whole batch's worst-case matrix;
+Jaro-Winkler is a tight per-element loop but only over the bounded-width
+normalized strings inside an Arrow batch (the same granularity at which
+the reference runs its GPU batches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+# ---------------------------------------------------------------- jaro-winkler
+def _jaro(s1: str, s2: str) -> float:
+    # DuckDB convention (our oracle): empty vs anything -> 0.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
+    """Reference formula (matches DuckDB's jaro_winkler_similarity)."""
+    j = _jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return j + prefix * prefix_weight * (1.0 - j)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = np.empty(len(a), dtype=np.float64)
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    for i in range(len(av)):
+        x, y = av[i], bv[i]
+        out[i] = jaro_winkler_py(x or "", y or "")
+    return pd.Series(out)
+
+
+# -------------------------------------------------------- token-set levenshtein
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    # numpy row-DP. The insertion recurrence cur[j] = min(raw[j],
+    # cur[j-1]+1) unrolls to cur[j] = j + min_{k<=j}(raw[k]-k), which is
+    # a prefix-min — fully vectorized, no Python inner loop. Exact.
+    n = len(b)
+    prev = np.arange(n + 1, dtype=np.int64)
+    cur = np.empty(n + 1, dtype=np.int64)
+    idx = np.arange(n + 1, dtype=np.int64)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    for i, ca in enumerate(a, 1):
+        cur[0] = i
+        cost = (bb != ord(ca)).astype(np.int64)
+        np.minimum(prev[:-1] + cost, prev[1:] + 1, out=cur[1:])
+        np.subtract(cur, idx, out=cur)
+        np.minimum.accumulate(cur, out=cur)
+        np.add(cur, idx, out=cur)
+        prev, cur = cur, prev
+    return int(prev[n])
+
+
+def token_set_ratio_py(a: str, b: str) -> float:
+    """Levenshtein ratio over the sorted unique-token join of each side.
+
+    Deterministic stand-in for the reference's token-id sequence
+    comparison inside the cross-encoder input build
+    (/root/reference/cogie/toolkit/el/el_toolkit.py:538-555).
+    """
+    ta = " ".join(sorted(set((a or "").split())))
+    tb = " ".join(sorted(set((b or "").split())))
+    if not ta and not tb:
+        return 1.0
+    d = _levenshtein(ta, tb)
+    denom = max(len(ta), len(tb))
+    return 1.0 - d / denom if denom else 1.0
+
+
+@pandas_udf(DoubleType())
+def token_set_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = np.empty(len(a), dtype=np.float64)
+    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+    for i in range(len(av)):
+        out[i] = token_set_ratio_py(av[i], bv[i])
+    return pd.Series(out)
+
+
+# ------------------------------------------------------------------ tfidf cosine
+def tfidf_cosine_udf(idf: dict[str, float] | None = None):
+    """Build a pandas UDF scoring cosine over TF(-IDF) token vectors.
+
+    ``idf`` maps token -> idf weight; tokens absent from the map get
+    weight 1.0 (hash-trick fallback). Pass the dict via closure — Spark
+    serializes it to executors once per task, mirroring the reference's
+    singleton candidate-encoding cache
+    (/root/reference/cogie/toolkit/el/el_toolkit.py:75-82).
+    """
+    idf_map = idf or {}
+
+    @pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
+        for i in range(len(av)):
+            ca: dict[str, float] = {}
+            cb: dict[str, float] = {}
+            for t in (av[i] or "").split():
+                ca[t] = ca.get(t, 0.0) + 1.0
+            for t in (bv[i] or "").split():
+                cb[t] = cb.get(t, 0.0) + 1.0
+            num = 0.0
+            na = 0.0
+            nb = 0.0
+            for t, f_ in ca.items():
+                w = f_ * idf_map.get(t, 1.0)
+                na += w * w
+                if t in cb:
+                    num += w * (cb[t] * idf_map.get(t, 1.0))
+            for t, f_ in cb.items():
+                w = f_ * idf_map.get(t, 1.0)
+                nb += w * w
+            out[i] = num / np.sqrt(na * nb) if na > 0 and nb > 0 else (1.0 if not ca and not cb else 0.0)
+        return pd.Series(out)
+
+    return _cos
+
+
+# ------------------------------------------------------------- native cosine
+def cosine_native(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array<double> columns, pure expressions.
+
+    Sequential left-to-right double accumulation — bit-identical to
+    DuckDB's list-based formulation, so it is oracle-checkable.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(ca, F.lit(0.0), lambda acc, v: acc + v * v)
+    nb = F.aggregate(cb, F.lit(0.0), lambda acc, v: acc + v * v)
+    return dot / F.sqrt(na * nb)
+
+
+@pandas_udf(DoubleType())
+def simhash_hamming64(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Hamming distance between two int64 SimHash columns (vectorized)."""
+    x = a.to_numpy(dtype=np.uint64) ^ b.to_numpy(dtype=np.uint64)
+    cnt = np.zeros(len(x), dtype=np.float64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.float64)
+        x >>= np.uint64(1)
+    return pd.Series(cnt)

@@ -1,0 +1,121 @@
+"""Transitive clustering: iterative large-star / small-star connected
+components using only hash joins and aggregations (no GraphFrames).
+
+This is the distributed restatement of the reference's transitive
+alignment: CogIE resolves each mention to a canonical entity through
+dictionary joins + owl:sameAs lookups
+(/root/reference/cogie/toolkit/el/el_toolkit.py:131-143,
+/root/reference/cogie/utils/cognet.py:47-58); its tiny in-memory graph
+walk (w2ner_decode DFS, /root/reference/cogie/toolkit/ner/ner_toolkit.py:
+242-285) is the per-record analogue. At 10^12-file scale the transitive
+closure over match edges must be a fixed-point of dataframe joins —
+the large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) converges in
+O(log^2 n) rounds and every round is two shuffles.
+
+Node ids must be totally ordered — we use the sha256 ``file_id``
+(SURVEY.md §7.3); string comparison gives the order.
+
+Each iteration optionally commits a snapshot through a
+``CheckpointManager`` (io/tableio.py) so a killed job resumes from the
+last committed iteration — the semantics of the reference trainer's
+skip-to-global-step resume (/root/reference/cogie/core/trainer.py:195-213).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbrs = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor (and u itself) to the min."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    withm = oriented.join(m, "u")
+    to_min = withm.select(F.col("v").alias("src"), F.col("m").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    u_to_min = withm.select(F.col("u").alias("src"), F.col("m").alias("dst")).distinct()
+    return to_min.unionAll(u_to_min).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """Cheap convergence check: (count, xor-ish sum of row hashes)."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.hash("src", "dst").cast("long")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint=None,
+) -> DataFrame:
+    """Edge list (left_id, right_id) -> (file_id, cluster_id).
+
+    cluster_id is the minimum member id of the component (deterministic,
+    order-free). Singletons (nodes without edges) are NOT returned —
+    callers left-join and coalesce to the node's own id
+    (plans/linkage.py does this for the full-file clustering output).
+
+    ``checkpoint``: optional CheckpointManager; when set, each iteration's
+    edge set is committed as a resumable snapshot, and a restarted call
+    continues from the last committed iteration.
+    """
+    cur = edges.select(
+        F.least("left_id", "right_id").alias("dst"),
+        F.greatest("left_id", "right_id").alias("src"),
+    ).distinct()
+    # materialize the seed edge set: each round references it several
+    # times (union'd neighbor views + min-join), and the upstream plan
+    # (blocking + pandas-UDF scoring) must never be re-executed
+    cur = cur.localCheckpoint(eager=True)
+
+    start_iter = 0
+    if checkpoint is not None:
+        resumed = checkpoint.latest("cc_edges")
+        if resumed is not None:
+            cur, start_iter = resumed
+
+    prev_fp = None
+    for it in range(start_iter, max_iter):
+        cur = _small_star(_large_star(cur))
+        # truncate lineage every round — iterative joins otherwise build
+        # an exponentially deep plan that stalls the optimizer
+        if checkpoint is not None:
+            cur = checkpoint.commit("cc_edges", cur, iteration=it + 1)
+        else:
+            cur = cur.localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # converged: every node points at its component minimum
+    labels = cur.groupBy("src").agg(F.min("dst").alias("cluster_id")).select(
+        F.col("src").alias("file_id"), "cluster_id"
+    )
+    roots = cur.select(F.col("dst").alias("file_id")).distinct().join(
+        labels, "file_id", "left_anti"
+    ).select("file_id", F.col("file_id").alias("cluster_id"))
+    return labels.unionByName(roots)

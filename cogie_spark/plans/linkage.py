@@ -1,0 +1,140 @@
+"""The flagship record-linkage pipeline.
+
+Spark restatement of the reference's /linking query lifecycle
+(SURVEY.md §3.1; /root/reference/cogie/interface/interface.py:42-62 →
+cogie/toolkit/el/el_toolkit.py:84-152): one lazily-planned DataFrame
+lineage —
+
+  code_files
+    -> normalize + shingle                 (functions/text.py, JVM exprs)
+    -> MinHash-LSH blocking                (operators/blocking.py; the
+                                            FAISS-retrieval replacement)
+    -> bounded candidate-pair table        (skew-capped self-join)
+    -> vectorized pair scoring             (operators/scoring.py; the
+                                            cross-encoder replacement)
+    -> threshold -> match edges
+    -> large-star/small-star clustering    (operators/cc.py; the
+                                            transitive-alignment stage)
+    -> clusters(file_id, cluster_id)
+
+with per-stage committed snapshots + metrics (io/tableio.py) so any stage
+resumes from the last commit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cogie_spark.io.tableio import CheckpointManager
+from cogie_spark.operators.blocking import candidate_pairs, with_blocks
+from cogie_spark.operators.cc import connected_components
+from cogie_spark.operators.scoring import match_edges, score_pairs
+
+
+@dataclass
+class LinkageConfig:
+    id_col: str = "file_id"
+    content_col: str = "content"
+    key_cols: tuple[str, ...] = ("lang",)
+    num_perm: int = 32
+    bands: int = 16
+    shingle_k: int = 8
+    max_block_size: int = 64
+    feature_chars: int = 2000
+    threshold: float = 0.72
+    cc_max_iter: int = 20
+    weights: tuple[float, float] = (0.3, 0.7)
+    extra: dict = field(default_factory=dict)
+
+
+def run_linkage(
+    files: DataFrame,
+    cfg: LinkageConfig | None = None,
+    checkpoint: CheckpointManager | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns its materializable stage outputs.
+
+    Keys: blocks, pairs, dropped_blocks, scored, edges, clusters.
+    ``clusters`` covers EVERY input file — files not in any match edge
+    become singleton clusters (cluster_id = own file_id), matching the
+    reference's behavior of always emitting a link result per mention
+    (el_toolkit.py:144-151, 'unk' on miss).
+    """
+    cfg = cfg or LinkageConfig()
+
+    from pyspark import StorageLevel
+
+    # the input is scanned by blocking and twice by scoring's feature
+    # joins — persist once (spills to disk at scale, never recomputes)
+    files = files.persist(StorageLevel.MEMORY_AND_DISK)
+
+    blocks = with_blocks(
+        files,
+        id_col=cfg.id_col,
+        content_col=cfg.content_col,
+        key_cols=cfg.key_cols,
+        num_perm=cfg.num_perm,
+        bands=cfg.bands,
+        shingle_k=cfg.shingle_k,
+    )
+    pairs, dropped = candidate_pairs(
+        blocks, id_col=cfg.id_col, key_cols=cfg.key_cols, max_block_size=cfg.max_block_size
+    )
+    if checkpoint is not None:
+        pairs = checkpoint.commit("pairs", pairs)
+        n_dropped = dropped.count()
+        checkpoint.log_metric("blocking", 0, "dropped_blocks", float(n_dropped))
+
+    scored = score_pairs(
+        pairs,
+        files,
+        id_col=cfg.id_col,
+        content_col=cfg.content_col,
+        feature_chars=cfg.feature_chars,
+        weights=cfg.weights,
+    )
+    if checkpoint is not None:
+        scored = checkpoint.commit("scored", scored)
+        checkpoint.log_metric("scoring", 0, "pairs_scored", float(scored.count()))
+
+    edges = match_edges(scored, threshold=cfg.threshold)
+    comp = connected_components(edges, max_iter=cfg.cc_max_iter, checkpoint=checkpoint)
+
+    # every file gets a cluster: singletons map to themselves
+    clusters = (
+        files.select(cfg.id_col)
+        .join(comp, cfg.id_col, "left")
+        .select(
+            F.col(cfg.id_col).alias("file_id"),
+            F.coalesce("cluster_id", F.col(cfg.id_col)).alias("cluster_id"),
+        )
+    )
+    if checkpoint is not None:
+        clusters = checkpoint.commit("clusters", clusters)
+
+    return {
+        "blocks": blocks,
+        "pairs": pairs,
+        "dropped_blocks": dropped,
+        "scored": scored,
+        "edges": edges,
+        "clusters": clusters,
+    }
+
+
+def predicted_pairs_from_clusters(clusters: DataFrame) -> DataFrame:
+    """Expand cluster assignments back to predicted matched pairs
+    (for pairwise-F1 evaluation; within-cluster pairs, left < right).
+
+    Safe at scale ONLY because blocking caps cluster sizes; the join is
+    on cluster_id, skew-handled by AQE.
+    """
+    a = clusters.alias("a")
+    b = clusters.alias("b")
+    return (
+        a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id")) & (F.col("a.file_id") < F.col("b.file_id")))
+        .select(F.col("a.file_id").alias("left_id"), F.col("b.file_id").alias("right_id"))
+    )

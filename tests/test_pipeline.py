@@ -1,0 +1,66 @@
+"""M1 end-to-end: the flagship linkage pipeline reaches pairwise F1 >= 0.99
+on the deterministic fixture at the shared blocking key (BASELINE.json),
+and connected components is exact on hand-built graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cogie_spark.fixtures.codefiles import code_files, labeled_pairs
+from cogie_spark.operators.cc import connected_components
+from cogie_spark.operators.metrics import pairwise_prf
+from cogie_spark.plans.linkage import (
+    LinkageConfig,
+    predicted_pairs_from_clusters,
+    run_linkage,
+)
+
+
+def test_connected_components_exact(spark):
+    edges = spark.createDataFrame(
+        [
+            ("b", "a"), ("c", "b"),          # component {a,b,c} -> a
+            ("e", "d"),                       # component {d,e}   -> d
+            ("x", "y"), ("y", "z"), ("x", "z"),  # {x,y,z} -> x
+        ],
+        ["left_id", "right_id"],
+    )
+    got = {r["file_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "x": "x", "y": "x", "z": "x"}
+
+
+def test_cc_long_chain(spark):
+    # a path graph of 40 nodes — worst case for label propagation,
+    # log-round for large/small-star
+    ids = [f"n{i:03d}" for i in range(40)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(39)], ["left_id", "right_id"]
+    )
+    got = connected_components(edges).collect()
+    assert len(got) == 40
+    assert {r["cluster_id"] for r in got} == {"n000"}
+
+
+def test_flagship_f1(spark):
+    files = code_files(spark, n_groups=80, seed=42, with_truth=True)
+    lp = labeled_pairs(files).cache()
+    engine_input = files.drop("group_id", "member_idx")
+    out = run_linkage(engine_input, LinkageConfig())
+    pred = predicted_pairs_from_clusters(out["clusters"])
+    m = pairwise_prf(pred, lp)
+    assert m["f1"] >= 0.99, m
+    # every input file got a cluster
+    assert out["clusters"].count() == engine_input.count()
+
+
+def test_blocking_recall(spark):
+    """All true pairs must survive blocking (recall gate before scoring)."""
+    from cogie_spark.operators.blocking import candidate_pairs, with_blocks
+
+    files = code_files(spark, n_groups=60, seed=42, with_truth=True)
+    lp = labeled_pairs(files).filter("is_match").select("left_id", "right_id")
+    blocks = with_blocks(files.drop("group_id", "member_idx"))
+    pairs, _ = candidate_pairs(blocks)
+    missed = lp.join(pairs, ["left_id", "right_id"], "left_anti").count()
+    total = lp.count()
+    assert missed <= max(1, int(0.002 * total)), f"blocking missed {missed}/{total}"

@@ -1,0 +1,58 @@
+"""Scorer unit tests against reference formulas (DuckDB's implementations
+serve as the independent oracle for jaro-winkler / levenshtein)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cogie_spark.functions.similarity import (
+    _levenshtein,
+    jaro_winkler_py,
+    token_set_ratio_py,
+)
+
+CASES = [
+    ("martha", "marhta"),
+    ("dixon", "dicksonx"),
+    ("", ""),
+    ("abc", ""),
+    ("abc", "abc"),
+    ("kitten", "sitting"),
+    ("the quick brown fox", "the quick brown fox"),
+    ("def parse(x): return x", "def parse(y): return y"),
+]
+
+
+@pytest.mark.parametrize("a,b", CASES)
+def test_jaro_winkler_matches_duckdb(a, b):
+    got = jaro_winkler_py(a, b)
+    want = duckdb.sql(f"SELECT jaro_winkler_similarity('{a}', '{b}')").fetchone()[0]
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+@pytest.mark.parametrize("a,b", CASES)
+def test_levenshtein_matches_duckdb(a, b):
+    if not a or not b:
+        return  # duckdb levenshtein errors on empty in some versions
+    got = _levenshtein(a, b)
+    want = duckdb.sql(f"SELECT levenshtein('{a}', '{b}')").fetchone()[0]
+    assert got == want
+
+
+def test_token_set_ratio_properties():
+    assert token_set_ratio_py("a b c", "c b a") == 1.0  # order-free
+    assert token_set_ratio_py("a b c", "a b c c c") == 1.0  # multiset-free
+    assert token_set_ratio_py("", "") == 1.0
+    assert 0.0 <= token_set_ratio_py("alpha beta", "gamma delta") < 0.6
+
+
+def test_pandas_udfs_run(spark):
+    from pyspark.sql import functions as F
+
+    from cogie_spark.functions.similarity import jaro_winkler, token_set_ratio
+
+    df = spark.createDataFrame([("martha", "marhta"), ("abc", "xyz")], ["a", "b"])
+    out = df.select(jaro_winkler("a", "b").alias("jw"), token_set_ratio("a", "b").alias("ts")).collect()
+    assert out[0]["jw"] == pytest.approx(0.9611111111111111)
+    assert out[1]["jw"] < 0.6
