@@ -47,6 +47,12 @@ class LinkageConfig:
     threshold: float = 0.72
     cc_max_iter: int = 20
     weights: tuple[float, float] = (0.3, 0.7)
+    # collapse byte-identical files (same sha256) to one representative
+    # BEFORE blocking: identical boilerplate otherwise forms the hottest
+    # LSH blocks, and at 10^12 files the quadratic pair step must only
+    # ever see distinct contents
+    exact_prededup: bool = True
+    sha_col: str = "sha256"
     extra: dict = field(default_factory=dict)
 
 
@@ -69,7 +75,30 @@ def run_linkage(
 
     # the input is scanned by blocking and twice by scoring's feature
     # joins — persist once (spills to disk at scale, never recomputes)
-    files = files.persist(StorageLevel.MEMORY_AND_DISK)
+    all_files = files.persist(StorageLevel.MEMORY_AND_DISK)
+    files = all_files
+
+    file2rep = None
+    if cfg.exact_prededup:
+        # exact dedup (SURVEY.md §2.7 U2): one representative per
+        # distinct content; the expensive pipeline runs on reps only
+        sha = cfg.sha_col if cfg.sha_col in files.columns else None
+        sha_expr = F.col(sha) if sha else F.sha2(F.col(cfg.content_col), 256)
+        keyed = all_files.withColumn("_sha", sha_expr)
+        reps = keyed.groupBy("_sha").agg(F.min(cfg.id_col).alias("_rep_id"))
+        file2rep = (
+            keyed.select(cfg.id_col, "_sha")
+            .join(reps, "_sha")
+            .select(cfg.id_col, F.col("_rep_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        files = (
+            keyed.join(
+                reps.withColumnRenamed("_rep_id", cfg.id_col), ["_sha", cfg.id_col], "inner"
+            )
+            .drop("_sha")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
     blocks = with_blocks(
         files,
@@ -103,15 +132,24 @@ def run_linkage(
     edges = match_edges(scored, threshold=cfg.threshold)
     comp = connected_components(edges, max_iter=cfg.cc_max_iter, checkpoint=checkpoint)
 
-    # every file gets a cluster: singletons map to themselves
-    clusters = (
+    # every representative gets a cluster: singletons map to themselves
+    rep_clusters = (
         files.select(cfg.id_col)
         .join(comp, cfg.id_col, "left")
         .select(
-            F.col(cfg.id_col).alias("file_id"),
+            F.col(cfg.id_col).alias("_rep_id"),
             F.coalesce("cluster_id", F.col(cfg.id_col)).alias("cluster_id"),
         )
     )
+    if file2rep is not None:
+        # expand back to all files: identical-content members inherit
+        # their representative's cluster (broadcast-sized rep side is
+        # not guaranteed, so this is a plain shuffled equi-join on rep)
+        clusters = file2rep.join(rep_clusters, "_rep_id").select(
+            F.col(cfg.id_col).alias("file_id"), "cluster_id"
+        )
+    else:
+        clusters = rep_clusters.withColumnRenamed("_rep_id", "file_id")
     if checkpoint is not None:
         clusters = checkpoint.commit("clusters", clusters)
 

@@ -64,3 +64,20 @@ def test_blocking_recall(spark):
     missed = lp.join(pairs, ["left_id", "right_id"], "left_anti").count()
     total = lp.count()
     assert missed <= max(1, int(0.002 * total)), f"blocking missed {missed}/{total}"
+
+
+def test_exact_prededup_clusters_identical_content(spark):
+    """Byte-identical files must cluster even when LSH blocks are capped
+    (they collapse to one representative before blocking)."""
+    from pyspark.sql import functions as F
+
+    files = code_files(spark, n_groups=20, seed=42).limit(30).withColumn(
+        "content", F.lit("int main() { return 0; }")
+    )
+    files = files.withColumn("sha256", F.sha2("content", 256)).withColumn(
+        "file_id", F.sha2(F.concat_ws("", "repo", "path", "commit"), 256)
+    )
+    out = run_linkage(files, LinkageConfig(max_block_size=4))
+    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    assert n_clusters == 1
+    assert out["clusters"].count() == 30
