@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``      : flagship record-linkage pipeline on the
+                          deterministic code_files fixture (sf0.001-scale).
+- ``queries()``         : operator inventory from SURVEY.md §2 over the
+                          driver's testdata tables (cogie_spark/queries.py)
+                          plus flagship/rows-only pipeline queries.
+- ``oracle_sql()``      : DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -12,27 +13,76 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: blocking + pairwise scoring + transitive clustering over
+    the deterministic code_files table; returns cluster assignments with
+    cluster sizes (every input file appears exactly once)."""
+    from cogie_spark.fixtures.codefiles import code_files
+    from cogie_spark.plans.linkage import LinkageConfig, run_linkage
+
+    files = code_files(spark, n_groups=120, seed=42)
+    out = run_linkage(files, LinkageConfig())
+    clusters = out["clusters"]
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return clusters.join(sizes, "cluster_id").select("file_id", "cluster_id", "cluster_size")
+
+
+def _flagship_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return entry(spark)
+
+
+def _flagship_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise P/R/F1 of the flagship pipeline against the fixture's
+    labeled pairs (the BASELINE.json acceptance metric) as a 1-row DF."""
+    from cogie_spark.fixtures.codefiles import code_files, labeled_pairs
+    from cogie_spark.operators.metrics import pairwise_prf
+    from cogie_spark.plans.linkage import (
+        LinkageConfig,
+        predicted_pairs_from_clusters,
+        run_linkage,
+    )
+
+    files = code_files(spark, n_groups=120, seed=42, with_truth=True)
+    lp = labeled_pairs(files)
+    out = run_linkage(files.drop("group_id", "member_idx"), LinkageConfig())
+    m = pairwise_prf(predicted_pairs_from_clusters(out["clusters"]), lp)
+    return spark.createDataFrame(
+        [(m["tp"], m["fp"], m["fn"], round(m["precision"], 6), round(m["recall"], 6), round(m["f1"], 6))],
+        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    )
+
+
+def _bio_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIO span decode (W5) on a deterministic in-line fixture."""
+    from cogie_spark.operators.spans import bio_decode
+
+    rows = []
+    tagseqs = [
+        ["B-PER", "I-PER", "O", "B-LOC", "O"],
+        ["O", "B-ORG", "I-ORG", "I-ORG", "O", "B-PER"],
+        ["I-LOC", "O", "B-LOC", "I-LOC", "B-LOC"],
+    ]
+    for s, tags in enumerate(tagseqs):
+        for p, tag in enumerate(tags):
+            rows.append((0, s, p, f"tok{s}_{p}", tag))
+    df = spark.createDataFrame(rows, "doc_id long, sent_id long, pos long, token string, tag string")
+    return bio_decode(df)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cogie_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out["q40_flagship_clusters"] = _flagship_clusters
+    out["q41_flagship_pairwise_f1"] = _flagship_eval
+    out["q33_bio_span_decode"] = _bio_spans
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cogie_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,107 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headliners:
+- flagship : full record-linkage pipeline (blocking -> scoring -> CC) on
+             a bench-scale deterministic code_files table; also reports
+             candidate-pairs-scored/sec (the BASELINE.md throughput metric).
+- q01/q04/q08 : heavy relational scans/joins/aggs at sf0.1.
+- q32       : MinHash near-dup over the documents table.
+- q24       : ANN cosine top-k over embeddings.
+
+`python bench.py --scaling` additionally runs the flagship job at
+local[8] and local[32] in separate SparkSessions on the same input and
+reports throughput at both plus scaling efficiency
+(= (thr@32 / thr@8) / 4) — the sandbox stand-in for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _flagship(spark, n_groups: int):
+    from cogie_spark.fixtures.codefiles import code_files
+    from cogie_spark.plans.linkage import LinkageConfig, run_linkage
+
+    files = code_files(spark, n_groups=n_groups, seed=42)
+    out = run_linkage(files, LinkageConfig())
+    n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    n_pairs = out["scored"].count()  # persisted by run_linkage — no recompute
+    return n_pairs, n_clusters
+
+
+def run_once(master: str, sf_dir: str, n_groups: int, shuffle: int):
+    from cogie_spark.queries import QUERIES
+    from cogie_spark.session import get_spark
+
+    spark = get_spark(app_name="cogie_bench", master=master, shuffle_partitions=shuffle)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    t0 = time.time()
+    n_pairs, n_clusters = _flagship(spark, n_groups)
+    dt = time.time() - t0
+    timings["flagship_linkage"] = round(dt, 3)
+    extras["pairs_scored"] = n_pairs
+    extras["clusters"] = n_clusters
+    extras["pairs_scored_per_sec"] = round(n_pairs / dt, 1)
+
+    for name in ["q01_pricing_summary", "q04_enrich_join", "q08_range_join",
+                 "q32_minhash_near_dup", "q24_ann_topk", "q10_word_topk"]:
+        t0 = time.time()
+        # count() materializes the full result without driver collect
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+    return timings, extras
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_groups = int(os.environ.get("COGIE_BENCH_GROUPS", "3000"))
+    sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
+
+    if "--scaling" in sys.argv:
+        # same input, two parallelism levels — the north rule's two-
+        # cluster-size scaling evidence (local[8] vs local[32])
+        result = {}
+        for m, sh in [("local[8]", 8), ("local[32]", 32)]:
+            t0 = time.time()
+            timings, extras = run_once(m, sf_dir, n_groups, sh)
+            wall = sum(timings.values())
+            result[m] = {
+                "flagship_sec": timings["flagship_linkage"],
+                "pairs_per_sec": extras["pairs_scored_per_sec"],
+                "total_sec": round(wall, 2),
+            }
+        eff = (result["local[32]"]["pairs_per_sec"] / result["local[8]"]["pairs_per_sec"]) / 4.0
+        result["scaling_efficiency_8_to_32"] = round(eff, 3)
+        print(json.dumps(result))
+        return
+
+    timings, extras = run_once(f"local[{cpus}]", sf_dir, n_groups, int(cpus))
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "pairs_scored": extras["pairs_scored"],
+                "pairs_scored_per_sec": extras["pairs_scored_per_sec"],
+                "clusters": extras["clusters"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

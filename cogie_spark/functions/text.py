@@ -46,6 +46,15 @@ def char_shingles(col: Column | str, k: int = 8, distinct: bool = True) -> Colum
     return F.array_distinct(sh) if distinct else sh
 
 
+def word_ngrams(col: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles (array<string>) — ~5x fewer elements than
+    char shingles on code text; the pipeline's fast blocking feature."""
+    toks = tokens(col)
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams) if distinct else grams
+
+
 def shingles_sql(expr: str, k: int = 8, distinct: bool = True) -> str:
     """DuckDB SQL text equivalent of :func:`char_shingles` (for oracles)."""
     norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"

@@ -30,6 +30,96 @@ from cogie_spark.functions.hashing import base_hash28, minhash_bands, minhash_fr
 from cogie_spark.functions.text import char_shingles
 
 
+def signature_table(
+    df: DataFrame,
+    id_col: str = "file_id",
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("lang",),
+    num_perm: int = 32,
+    shingle_k: int = 8,
+    mode: str = "portable",
+) -> DataFrame:
+    """(id, *key_cols, sig: array<bigint>) — the per-row MinHash signature.
+
+    Computed once and reused by BOTH band explosion (blocking) and the
+    signature-agreement Jaccard estimate (scoring prefilter) — the
+    Spark analogue of the reference's precomputed candidate encodings
+    (/root/reference/cogie/models/el/biencoder.py:127-128).
+
+    mode='portable': char k-shingles + md5 hash family (bit-identical in
+    DuckDB — used by oracle-checked queries).
+    mode='fast': word 3-gram shingles + xxhash64 + single-pass aggregate
+    (the pipeline default; ~5x fewer shingles, no md5 string round-trip).
+    """
+    if mode == "fast":
+        from cogie_spark.functions.hashing import MINHASH_P, _perm_coeffs
+        from cogie_spark.functions.text import word_ngrams
+
+        # explode + 64 min-aggregates: HashAggregate is whole-stage-
+        # codegen'd and partially aggregated map-side, unlike nested
+        # higher-order-function lambdas (interpreted, boxed). The
+        # shuffle after partial agg is only |rows| x num_perm longs.
+        exploded = df.select(
+            id_col, *key_cols, F.explode(word_ngrams(content_col, n=3)).alias("_g")
+        ).select(id_col, *key_cols, F.pmod(F.xxhash64("_g"), F.lit(1 << 28)).alias("_h"))
+        aggs = []
+        for i in range(num_perm):
+            a, b = _perm_coeffs(i)
+            aggs.append(
+                F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{i}")
+            )
+        return (
+            exploded.groupBy(id_col, *key_cols)
+            .agg(*aggs)
+            .select(
+                id_col, *key_cols, F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
+            )
+        )
+    # portable mode: same explode + codegen'd min-aggregate construction,
+    # with the md5-based 28-bit hash family — signature values are
+    # bit-identical to minhash_from_hashes / the DuckDB oracle SQL
+    from cogie_spark.functions.hashing import MINHASH_P, _perm_coeffs
+
+    exploded = df.select(
+        id_col, *key_cols, F.explode(char_shingles(content_col, k=shingle_k)).alias("_s")
+    ).select(id_col, *key_cols, base_hash28(F.col("_s")).alias("_h"))
+    aggs = []
+    for i in range(num_perm):
+        a, b = _perm_coeffs(i)
+        aggs.append(F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{i}"))
+    return (
+        exploded.groupBy(id_col, *key_cols)
+        .agg(*aggs)
+        .select(id_col, *key_cols, F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig"))
+    )
+
+
+def bands_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "file_id",
+    key_cols: tuple[str, ...] = ("lang",),
+    bands: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Explode a signature table into LSH block memberships."""
+    bandcol = minhash_bands(F.col("sig"), bands, rows_per_band)
+    return sigs.select(id_col, *key_cols, F.explode(bandcol).alias("_band")).select(
+        id_col,
+        *key_cols,
+        F.col("_band.band_id").alias("band_id"),
+        F.col("_band.band_hash").alias("band_hash"),
+    )
+
+
+def estimate_jaccard(sig_a: F.Column, sig_b: F.Column, num_perm: int) -> F.Column:
+    """MinHash agreement fraction — an unbiased Jaccard estimate, pure
+    JVM expressions. Used as the cheap cascade filter before the
+    pandas-UDF scorers (the reference's retrieve-then-rerank split,
+    SURVEY.md §4)."""
+    eq = F.filter(F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    return F.size(eq) / F.lit(float(num_perm))
+
+
 def with_blocks(
     df: DataFrame,
     id_col: str = "file_id",
@@ -46,24 +136,12 @@ def with_blocks(
     whole stage is whole-stage-codegen'd JVM work; no Python runs here.
     """
     rows_per_band = num_perm // bands
-    bandcol = minhash_bands(F.col("_sig"), bands, rows_per_band)
-    return (
-        # three projections so each expensive pass (md5 shingle hashing,
-        # 32 linear-perm minima) is computed exactly once per row —
-        # CollapseProject keeps multiply-referenced aliases materialized
-        df.select(
-            id_col,
-            *key_cols,
-            F.transform(char_shingles(content_col, k=shingle_k), base_hash28).alias("_h"),
-        )
-        .select(id_col, *key_cols, minhash_from_hashes(F.col("_h"), num_perm).alias("_sig"))
-        .select(id_col, *key_cols, F.explode(bandcol).alias("_band"))
-        .select(
-            id_col,
-            *key_cols,
-            F.col("_band.band_id").alias("band_id"),
-            F.col("_band.band_hash").alias("band_hash"),
-        )
+    sigs = signature_table(
+        df, id_col=id_col, content_col=content_col, key_cols=key_cols,
+        num_perm=num_perm, shingle_k=shingle_k,
+    )
+    return bands_from_signatures(
+        sigs, id_col=id_col, key_cols=key_cols, bands=bands, rows_per_band=rows_per_band
     )
 
 

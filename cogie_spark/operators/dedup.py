@@ -1,0 +1,150 @@
+"""Deduplication family for training-data pipelines (first-class at
+100 TB): exact, MinHash-LSH near-dup, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Exact + MinHash reuse the linkage engine's primitives; everything here
+is declarative DataFrame ops so Catalyst owns the physical plan. The
+reference analogue of "near-duplicate" is its candidate-generation
+stage (/root/reference/cogie/toolkit/el/el_toolkit.py:511-535): the same
+blocking mathematics, applied to documents instead of mentions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cogie_spark.functions.hashing import simhash64
+from cogie_spark.functions.similarity import cosine_native
+from cogie_spark.functions.text import char_shingles, tokens
+from cogie_spark.operators.blocking import candidate_pairs, with_blocks
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated content with
+    group size and canonical (min) id. Map-side partial agg; single
+    shuffle on the content hash, never on the content itself."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col).alias("_id"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("group_size"), F.min("_id").alias("canonical_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_cols: tuple[str, ...] = (),
+    num_perm: int = 32,
+    bands: int = 16,
+    shingle_k: int = 8,
+    jaccard_threshold: float = 0.7,
+    max_block_size: int = 256,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
+
+    shingle -> minhash -> band -> bucket-join (operators/blocking.py),
+    then the surviving pairs are verified with exact Jaccard over the
+    distinct shingle sets — candidates are already bounded, so the
+    verify join touches only O(candidates) rows.
+    """
+    blocks = with_blocks(
+        df, id_col=id_col, content_col=text_col, key_cols=key_cols,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    )
+    pairs, _ = candidate_pairs(blocks, id_col=id_col, key_cols=key_cols, max_block_size=max_block_size)
+    sh = df.select(
+        F.col(id_col).alias("_sid"), char_shingles(text_col, k=shingle_k).alias("_sh")
+    )
+    verified = (
+        pairs.join(sh.withColumnRenamed("_sid", "left_id").withColumnRenamed("_sh", "_lsh"), "left_id")
+        .join(sh.withColumnRenamed("_sid", "right_id").withColumnRenamed("_sh", "_rsh"), "right_id")
+        .withColumn("inter", F.size(F.array_intersect("_lsh", "_rsh")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("_lsh") + F.size("_rsh") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Exact word n-gram Jaccard over all in-scope pairs (no LSH) —
+    the small-table verifier / oracle twin of minhash_near_duplicates.
+    ``scope_col`` bounds the self-join (e.g. same lang); at scale use
+    the LSH path instead."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens(text_col)) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tokens(text_col), i, n)),
+        )
+    )
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(scope_col).alias("_scope")] if scope_col else []),
+        grams.alias("_g"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if scope_col:
+        cond = cond & (F.col("a._scope") == F.col("b._scope"))
+    return (
+        a.join(b, cond)
+        .withColumn("inter", F.size(F.array_intersect("a._g", "b._g")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.size("a._g") + F.size("b._g") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a._id").alias("left_id"), F.col("b._id").alias("right_id"), "jaccard"
+        )
+    )
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Per-document SimHash value (token-level). 16-bit default keeps the
+    expression tree small; pair with hamming distance (pandas UDF
+    ``simhash_hamming64``) or bucket on the value for near-dup grouping."""
+    return df.select(
+        F.col(id_col).alias("doc_id_out"),
+        simhash64(tokens(text_col), bits=bits).alias("simhash"),
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    scope: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Brute-force O(n^2) within scope —
+    correct baseline; the scale path buckets by random-projection sign
+    first (operators/ann.py lsh_buckets) and only joins within buckets."""
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn("cosine", F.round(cosine_native(F.col("a._v"), F.col("b._v")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a._id").alias("left_id"), F.col("b._id").alias("right_id"), "cosine")
+    )

@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cogie_spark.io.tableio import CheckpointManager
-from cogie_spark.operators.blocking import candidate_pairs, with_blocks
+from cogie_spark.operators.blocking import (
+    bands_from_signatures,
+    candidate_pairs,
+    estimate_jaccard,
+    signature_table,
+)
 from cogie_spark.operators.cc import connected_components
 from cogie_spark.operators.scoring import match_edges, score_pairs
 
@@ -39,12 +44,21 @@ class LinkageConfig:
     id_col: str = "file_id"
     content_col: str = "content"
     key_cols: tuple[str, ...] = ("lang",)
-    num_perm: int = 32
+    # 16 bands x 4 rows: P(collide) = 1-(1-s^4)^16 — 0.999 at s=0.8,
+    # 0.05 at s=0.4 — steep enough that homogeneous corpora (shared
+    # boilerplate vocabulary) don't explode the candidate-pair count
+    num_perm: int = 64
     bands: int = 16
     shingle_k: int = 8
     max_block_size: int = 64
-    feature_chars: int = 2000
+    feature_chars: int = 1024
     threshold: float = 0.72
+    # 'fast' = word-3gram + xxhash64 single-pass signatures (pipeline);
+    # 'portable' = char-shingle md5 family (oracle-checkable)
+    signature_mode: str = "fast"
+    # cheap JVM-side cascade filter: drop pairs whose MinHash-agreement
+    # Jaccard estimate is below this before the pandas-UDF scorers
+    prefilter_est_jaccard: float = 0.45
     cc_max_iter: int = 20
     weights: tuple[float, float] = (0.3, 0.7)
     # collapse byte-identical files (same sha256) to one representative
@@ -100,22 +114,52 @@ def run_linkage(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
 
-    blocks = with_blocks(
+    sigs = signature_table(
         files,
         id_col=cfg.id_col,
         content_col=cfg.content_col,
         key_cols=cfg.key_cols,
         num_perm=cfg.num_perm,
-        bands=cfg.bands,
         shingle_k=cfg.shingle_k,
+        mode=cfg.signature_mode,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    blocks = bands_from_signatures(
+        sigs,
+        id_col=cfg.id_col,
+        key_cols=cfg.key_cols,
+        bands=cfg.bands,
+        rows_per_band=cfg.num_perm // cfg.bands,
     )
     pairs, dropped = candidate_pairs(
         blocks, id_col=cfg.id_col, key_cols=cfg.key_cols, max_block_size=cfg.max_block_size
     )
+
+    # cascade: MinHash-agreement Jaccard estimate (pure JVM) prunes the
+    # pair table before the expensive Arrow scorers — the reference's
+    # retrieve-then-rerank split (SURVEY.md §4)
+    sig_slim = sigs.select(F.col(cfg.id_col), F.col("sig"))
+    pairs = (
+        pairs.join(
+            sig_slim.withColumnRenamed(cfg.id_col, "left_id").withColumnRenamed("sig", "_lsig"),
+            "left_id",
+        )
+        .join(
+            sig_slim.withColumnRenamed(cfg.id_col, "right_id").withColumnRenamed("sig", "_rsig"),
+            "right_id",
+        )
+        .withColumn("est_jaccard", estimate_jaccard(F.col("_lsig"), F.col("_rsig"), cfg.num_perm))
+        .filter(F.col("est_jaccard") >= cfg.prefilter_est_jaccard)
+        .drop("_lsig", "_rsig")
+    )
+
     if checkpoint is not None:
         pairs = checkpoint.commit("pairs", pairs)
         n_dropped = dropped.count()
         checkpoint.log_metric("blocking", 0, "dropped_blocks", float(n_dropped))
+    else:
+        # downstream stages (scoring join, CC seed) and caller actions
+        # each reference the pair table — never recompute the self-join
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
 
     scored = score_pairs(
         pairs,
@@ -128,6 +172,8 @@ def run_linkage(
     if checkpoint is not None:
         scored = checkpoint.commit("scored", scored)
         checkpoint.log_metric("scoring", 0, "pairs_scored", float(scored.count()))
+    else:
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
     edges = match_edges(scored, threshold=cfg.threshold)
     comp = connected_components(edges, max_iter=cfg.cc_max_iter, checkpoint=checkpoint)

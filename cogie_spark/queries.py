@@ -1,0 +1,783 @@
+"""Driver-contract query library: every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus an ANSI-SQL DuckDB oracle twin.
+
+Conventions that make the driver's order-insensitive value-hash match:
+- every computed column aliased identically in Spark and SQL;
+- money sums computed in DECIMAL(18,2) (exact, order-free) then cast to
+  double and rounded;
+- ratio/cosine outputs rounded to 6 decimals on both sides;
+- hashing uses the engine-portable md5-based family (functions/hashing.py)
+  so MinHash/SimHash values are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cogie_spark.functions.hashing import MINHASH_P, _perm_coeffs, base_hash28, h64, simhash64
+from cogie_spark.functions.text import char_shingles, normalize_text, tokens
+from cogie_spark.operators.ann import brute_force_topk
+from cogie_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+)
+from cogie_spark.operators.textstats import (
+    STOPWORDS,
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    winnow_fingerprints,
+)
+from cogie_spark.operators.vocab import build_vocab
+
+# ------------------------------------------------------------------ helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DuckDB-side text helpers (must mirror functions/text.py exactly)
+_NORM = r"trim(regexp_replace(lower({x}), '\s+', ' ', 'g'))"
+_TOKS = "string_split(" + _NORM + ", ' ')"
+
+
+def _norm(x: str) -> str:
+    return _NORM.format(x=x)
+
+
+def _toks(x: str) -> str:
+    return _TOKS.format(x=x)
+
+
+def _shingles_sql(x: str, k: int = 8) -> str:
+    n = _norm(x)
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length({n}) - {k - 2}, 2)), "
+        f"i -> substring({n}, i::INT, {k})))"
+    )
+
+
+def _h64_sql(e: str) -> str:
+    return f"('0x' || substring(md5({e}), 1, 15))::BIGINT"
+
+
+def _h28_sql(e: str) -> str:
+    return f"('0x' || substring(md5({e}), 1, 7))::BIGINT"
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _money_sum(col: str, alias: str):
+    return F.round(F.sum(F.col(col).cast("decimal(18,2)")).cast("double"), 2).alias(alias)
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4)
+# =====================================================================
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_quantity < 50
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: filtered grouped aggregation (A1/A11; pushdown-
+    friendly filter reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") < 50)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum("l_quantity", "sum_qty"),
+            _money_sum("l_extendedprice", "sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "q16_rollup_qty",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q16(spark, sf_dir):
+    """Two-level aggregation via ROLLUP (A5 micro/macro shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _money_sum("l_quantity", "sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+@q(
+    "q13_confusion_matrix",
+    """
+    SELECT event_type AS target, CAST(floor(value / 2.5) AS BIGINT) AS pred, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q13(spark, sf_dir):
+    """Confusion-matrix-style two-column count (A8;
+    /root/reference/cogie/core/metrics.py:162-229)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("target"),
+        F.floor(F.col("value") / 2.5).cast("bigint").alias("pred"),
+    ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "q14_accuracy",
+    "SELECT round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS accuracy FROM events",
+)
+def q14(spark, sf_dir):
+    """Masked accuracy as avg(indicator) (A6; metrics.py:231-292)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.avg(F.when(F.col("event_type") == "click", 1.0).otherwise(0.0)), 6).alias(
+            "accuracy"
+        )
+    )
+
+
+@q(
+    "q15_macro_accuracy",
+    """
+    SELECT round(avg(acc), 6) AS macro_acc FROM (
+      SELECT user_id, avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS acc
+      FROM events GROUP BY user_id)
+    """,
+)
+def q15(spark, sf_dir):
+    """Per-group accuracy then unweighted macro mean (A7;
+    /root/reference/cogie/toolkit/el/el_toolkit.py:574-621)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.avg(F.when(F.col("event_type") == "click", 1.0).otherwise(0.0)).alias("acc")
+    )
+    return per.agg(F.round(F.avg("acc"), 6).alias("macro_acc"))
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+@q(
+    "q04_enrich_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, s.s_name,
+           round(l.l_extendedprice, 2) AS price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def q04(spark, sf_dir):
+    """J1 dict-lookup enrichment as broadcast hash joins
+    (el_toolkit.py:131-143)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_name",
+            "s_name",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@q(
+    "q05_left_join_unk",
+    """
+    SELECT o.o_orderkey, coalesce(c.c_mktsegment, 'unk') AS segment
+    FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+    ON o.o_custkey = c.c_custkey
+    """,
+)
+def q05(spark, sf_dir):
+    """J2 left join with miss -> 'unk' (el_toolkit.py:136-142 wikipedia->
+    wikidata miss handling; cognet.py:47-58)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", F.coalesce("c_mktsegment", F.lit("unk")).alias("segment")
+    )
+
+
+@q(
+    "q06_semi_join",
+    "SELECT p_partkey, p_name FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)",
+)
+def q06(spark, sf_dir):
+    """J9 semi-join membership (predictor.py:126-127 LU-dictionary)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+@q(
+    "q07_anti_join",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def q07(spark, sf_dir):
+    """J10 anti-join (vocabulary.py:156-159 new-words-only)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "q08_range_join",
+    """
+    SELECT o.o_orderpriority, count(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE date_diff('day', o.o_orderdate, l.l_shipdate) BETWEEN 0 AND 30
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q08(spark, sf_dir):
+    """J8 range-containment join (trex_ner.py:40-56 char-range -> word)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter((dd >= 0) & (dd <= 30))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# =====================================================================
+# Windows / ranking (SURVEY §2.5)
+# =====================================================================
+
+@q(
+    "q02_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) WHERE rk <= 3
+    """,
+)
+def q02(spark, sf_dir):
+    """W1 top-k per group (el_toolkit.py:528 scores.topk)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
+    )
+
+
+@q(
+    "q03_argmax_per_group",
+    """
+    SELECT o_custkey, o_orderkey AS best_order FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) WHERE rk = 1
+    """,
+)
+def q03(spark, sf_dir):
+    """W2 argmax winner select (el_toolkit.py:131-133,642) via max_by."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, -o_orderkey))").alias("best_order")
+    )
+
+
+@q(
+    "q09_sessionize",
+    """
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) GROUP BY user_id
+    """,
+)
+def q09(spark, sf_dir):
+    """W5 sessionization: lag -> new-segment flag -> counts (the BIO
+    span-decode shape, ner_toolkit.py:212-229)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; route through LTZ (session tz = UTC) to get
+    # fractional epoch seconds identical to DuckDB's epoch()
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    prev = F.lag(sec).over(w)
+    new_s = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# =====================================================================
+# Vocabulary / word stats (SURVEY §2.4 A1-A3, §2.2 P6)
+# =====================================================================
+
+@q(
+    "q10_word_topk",
+    f"""
+    SELECT word, count(*) AS n FROM (
+      SELECT unnest({_toks('text')}) AS word FROM documents)
+    WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 50
+    """,
+)
+def q10(spark, sf_dir):
+    """A1 word count + A2 top-k by frequency (vocabulary.py:115-124,152)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@q(
+    "q11_vocab_dim",
+    f"""
+    SELECT word, count, row_number() OVER (ORDER BY count DESC, word) + 1 AS idx FROM (
+      SELECT word, count(*) AS count FROM (
+        SELECT unnest({_toks('text')}) AS word FROM documents)
+      WHERE word <> '' GROUP BY word HAVING count(*) >= 20)
+    """,
+)
+def q11(spark, sf_dir):
+    """Vocabulary dim table: min-freq HAVING + dense idx (P6 + W7;
+    vocabulary.py:144-165)."""
+    d = _t(spark, sf_dir, "documents")
+    return build_vocab(d, "text", min_freq=20, n_special=2)
+
+
+@q("q12_distinct_labels", "SELECT DISTINCT event_type AS label FROM events")
+def q12(spark, sf_dir):
+    """A3 distinct label domain (loader.py:10,30-33)."""
+    return _t(spark, sf_dir, "events").select(F.col("event_type").alias("label")).distinct()
+
+
+# =====================================================================
+# Set ops / split (SURVEY §2.7)
+# =====================================================================
+
+@q(
+    "q17_union_distinct",
+    """
+    SELECT n_nationkey AS nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+    """,
+)
+def q17(spark, sf_dir):
+    """U1 union + U2 distinct (preprocess_trex.py:23-42; ner_toolkit 283)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@q(
+    "q18_hash_split",
+    f"""
+    SELECT {_h64_sql("CAST(c_custkey AS VARCHAR)")} % 5 AS bucket, count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def q18(spark, sf_dir):
+    """U3 deterministic split via portable hash bucketing — the
+    engine-portable restatement of DataTable.split/randomSplit
+    (datable.py:97-107): same rows land in the same fold on any engine."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy((h64(F.col("c_custkey").cast("string")) % 5).alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# =====================================================================
+# Scalar / string functions (SURVEY §2.8)
+# =====================================================================
+
+@q(
+    "q19_string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lc,
+           'https://en.wikipedia.org/wiki?curid=' || CAST(p_partkey AS VARCHAR) AS url,
+           CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS BIGINT) AS brand_num,
+           substring(p_type, 1, 6) AS type_prefix
+    FROM part
+    """,
+)
+def q19(spark, sf_dir):
+    """F2 lowercase, F6 URL templating (el_toolkit.py:57-59), F7 curid
+    parse (util.py:432-436), F9 prefix split."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.concat(F.lit("https://en.wikipedia.org/wiki?curid="), F.col("p_partkey").cast("string")).alias("url"),
+        F.regexp_extract("p_brand", r"([0-9]+)$", 1).cast("bigint").alias("brand_num"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+    )
+
+
+# =====================================================================
+# Shingles / MinHash / SimHash / fingerprints (blocking primitives)
+# =====================================================================
+
+@q(
+    "q20_shingle_stats",
+    f"""
+    SELECT doc_id, len({_shingles_sql('text')}) AS n_shingles,
+           len({_toks('text')}) AS n_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q20(spark, sf_dir):
+    """Character k-shingling (F3 tokenize analogue) — cardinalities."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    return d.select(
+        "doc_id",
+        F.size(char_shingles("text")).alias("n_shingles"),
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+
+
+def _minhash_cols_sql(nperm: int = 8) -> str:
+    cols = []
+    for i in range(nperm):
+        a, b = _perm_coeffs(i)
+        cols.append(
+            f"list_min(list_transform(__h, h -> ({a} * h + {b}) % {MINHASH_P})) AS m{i}"
+        )
+    return ", ".join(cols)
+
+
+@q(
+    "q21_minhash_signature",
+    f"""
+    SELECT doc_id, {_minhash_cols_sql(8)} FROM (
+      SELECT doc_id, list_transform({_shingles_sql('text')}, s -> {_h28_sql('s')}) AS __h
+      FROM documents WHERE doc_id < 50)
+    """,
+)
+def q21(spark, sf_dir):
+    """MinHash signature values — bit-identical across engines (the
+    LSH blocking primitive replacing FAISS, blink.py:157-162)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 50")
+    hashed = d.select(
+        "doc_id", F.transform(char_shingles("text"), base_hash28).alias("_h")
+    )
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    cols = []
+    for i in range(8):
+        a, b = _perm_coeffs(i)
+        cols.append(F.array_min(F.transform(F.col("_h"), perm(a, b))).alias(f"m{i}"))
+    return hashed.select("doc_id", *cols)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(__h, x -> ((x // {2**j}) % 2) * 2 - 1)) > 0 "
+            f"THEN {2**j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@q(
+    "q23_simhash",
+    f"""
+    SELECT doc_id, {_simhash_sql(16)} AS simhash FROM (
+      SELECT doc_id, list_transform(list_filter({_toks('text')}, t -> t <> ''),
+                                    t -> {_h64_sql('t')}) AS __h
+      FROM documents WHERE doc_id < 50)
+    """,
+)
+def q23(spark, sf_dir):
+    """SimHash (16-bit expression form) per document."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 50")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    return d.select("doc_id", simhash64(toks, bits=16).alias("simhash"))
+
+
+@q(
+    "q29_fingerprint",
+    f"SELECT doc_id, md5({_norm('text')}) AS fp FROM documents",
+)
+def q29(spark, sf_dir):
+    """Document fingerprint: md5 of normalized content."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@q(
+    "q30_winnow",
+    f"""
+    SELECT doc_id, len(list_distinct(list_transform(
+             range(1, greatest(len(__h) - 2, 2)),
+             i -> list_min(__h[i:i+3])))) AS n_fingerprints
+    FROM (SELECT doc_id, list_transform(
+            list_transform(range(1, greatest(length({_norm('text')}) - 6, 2)),
+                           i -> substring({_norm('text')}, i::INT, 8)),
+            s -> {_h28_sql('s')}) AS __h
+          FROM documents WHERE doc_id < 50)
+    """,
+)
+def q30(spark, sf_dir):
+    """Winnowing fingerprint count (rolling-hash document fingerprint)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 50")
+    return d.select("doc_id", F.size(winnow_fingerprints("text", k=8, window=4)).alias("n_fingerprints"))
+
+
+# =====================================================================
+# Text analysis (training-data ops)
+# =====================================================================
+
+@q(
+    "q28_token_counts",
+    f"""
+    SELECT doc_id, len({_toks('text')}) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q28(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def _langid_sql() -> str:
+    hits = {
+        lg: f"len(list_filter({_toks('text')}, t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lg, ws in STOPWORDS.items()
+    }
+    return f"""
+    CASE
+      WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+      WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+      WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+      WHEN h_es > 0 THEN 'es'
+      ELSE 'und' END
+    """, hits
+
+
+@q("q26_lang_id", None)  # oracle attached below (needs the CTE)
+def q26(spark, sf_dir):
+    """Language-ID heuristic: argmax of stopword hits, 'und' fallback."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+
+
+_case, _hits = _langid_sql()
+ORACLES["q26_lang_id"] = f"""
+    SELECT doc_id, lang, ({_case}) AS pred_lang FROM (
+      SELECT doc_id, lang,
+             {_hits['en']} AS h_en, {_hits['de']} AS h_de,
+             {_hits['fr']} AS h_fr, {_hits['es']} AS h_es
+      FROM documents)
+"""
+
+
+@q(
+    "q27_quality",
+    f"""
+    SELECT doc_id,
+           length({_norm('text')}) AS n_chars,
+           len({_toks('text')}) AS n_tokens,
+           round(length(regexp_replace({_norm('text')}, '[a-z0-9\\s]', '', 'g'))
+                 / greatest(length({_norm('text')}), 1), 6) AS punct_ratio,
+           round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS upper_ratio
+    FROM documents
+    """,
+)
+def q27(spark, sf_dir):
+    """Quality-scoring features (length / punctuation / case ratios)."""
+    d = _t(spark, sf_dir, "documents")
+    qf = quality_features(d, "text")
+    return qf.select("doc_id", "n_chars", "n_tokens", "punct_ratio", "upper_ratio")
+
+
+# =====================================================================
+# Dedup family (training-data ops)
+# =====================================================================
+
+def _docs_with_clones(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clones = d.filter("doc_id < 50").withColumn("doc_id", F.col("doc_id") + 100000)
+    return d.unionByName(clones)
+
+
+_CLONES_SQL = "(SELECT * FROM documents UNION ALL SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id < 50)"
+
+
+@q(
+    "q31_exact_dup_groups",
+    f"""
+    SELECT content_hash, group_size, canonical_id FROM (
+      SELECT sha256(text) AS content_hash, count(*) AS group_size,
+             min(doc_id) AS canonical_id
+      FROM {_CLONES_SQL} GROUP BY 1) WHERE group_size > 1
+    """,
+)
+def q31(spark, sf_dir):
+    """Exact dedup: hash-groupBy duplicate groups (U2 at scale)."""
+    docs = _docs_with_clones(spark, sf_dir)
+    return exact_duplicate_groups(docs, id_col="doc_id", text_col="text")
+
+
+@q(
+    "q32_minhash_near_dup",
+    f"""
+    WITH d AS (SELECT * FROM {_CLONES_SQL} t),
+    g AS (SELECT doc_id, lang, {_shingles_sql('text')} AS sh FROM d)
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.9
+    """,
+)
+def q32(spark, sf_dir):
+    """MinHash-LSH near-dup detection (shingle→minhash→band→bucket-join
+    →exact-Jaccard verify). The oracle computes brute-force shingle
+    Jaccard over all same-lang pairs; at threshold 0.9 LSH recall with
+    16 bands x 2 rows is 1 - (1-0.81)^16 ≈ 1-4e-12, so the sets match.
+    (The testdata has planted near-dup documents — the clones union
+    adds known jaccard-1.0 pairs on top.)"""
+    docs = _docs_with_clones(spark, sf_dir)
+    out = minhash_near_duplicates(
+        docs, id_col="doc_id", text_col="text", key_cols=("lang",),
+        jaccard_threshold=0.9,
+    )
+    return out.select("left_id", "right_id", "jaccard")
+
+
+@q(
+    "q22_ngram_jaccard",
+    f"""
+    WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, greatest(len(__t) - 1, 2)),
+               i -> array_to_string(__t[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id, {_toks('text')} AS __t FROM documents
+            WHERE lang = 'fr' AND doc_id < 300)
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.01
+    """,
+)
+def q22(spark, sf_dir):
+    """Exact word-3gram Jaccard pairs (n=3 grams of 3 tokens => here
+    n=3 window of 3 -- uses trigram of tokens with n=3)."""
+    d = _t(spark, sf_dir, "documents").filter("lang = 'fr' AND doc_id < 300")
+    from cogie_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.01)
+
+
+# =====================================================================
+# Embedding similarity (ANN)
+# =====================================================================
+
+@q(
+    "q24_ann_topk",
+    """
+    SELECT probe_id, vec_id, cosine, rank FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             round(list_sum(list_transform(range(1, len(p.embedding) + 1),
+                       i -> p.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+               / sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))
+                    * list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS cosine,
+             row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 round(list_sum(list_transform(range(1, len(p.embedding) + 1),
+                       i -> p.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+               / sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))
+                    * list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))), 6) DESC,
+                 c.vec_id) AS rank
+      FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) p
+    ) WHERE rank <= 5
+    """,
+)
+def q24(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (blink.py:73-93 exact
+    flat-IP indexer restated as broadcast crossJoin + window top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter("vec_id < 3").select(F.col("vec_id").alias("probe_id"), "embedding")
+    return brute_force_topk(emb, probes, k=5)
+
+
+@q(
+    "q25_embed_near_dup",
+    """
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+           round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))
+                  * list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))
+                  * list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))), 6) >= 0.4
+    """,
+)
+def q25(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.4)
