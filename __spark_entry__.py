@@ -22,6 +22,9 @@ def entry(spark: SparkSession) -> DataFrame:
     cluster sizes (every input file appears exactly once)."""
     from cogie_spark.fixtures.codefiles import code_files
     from cogie_spark.plans.linkage import LinkageConfig, run_linkage
+    from cogie_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
 
     files = code_files(spark, n_groups=120, seed=42)
     out = run_linkage(files, LinkageConfig())
@@ -72,6 +75,16 @@ def _bio_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bio_decode(df)
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cogie_spark.shipping import ensure_shipped
+
+        ensure_shipped(spark)  # executor workers need the package too
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cogie_spark.queries import QUERIES
 
@@ -79,7 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q40_flagship_clusters"] = _flagship_clusters
     out["q41_flagship_pairwise_f1"] = _flagship_eval
     out["q33_bio_span_decode"] = _bio_spans
-    return out
+    return {name: _shipped(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -48,9 +48,15 @@ def score_pairs(
         F.substring(normalize_text(content_col), 1, feature_chars).alias("_feat"),
     )
     w_jw, w_ts = weights
+    joined = pairs.join(
+        feats.withColumnRenamed("_fid", "left_id").withColumnRenamed("_feat", "_lf"), "left_id"
+    ).join(feats.withColumnRenamed("_fid", "right_id").withColumnRenamed("_feat", "_rf"), "right_id")
+    # the scorers are CPU-bound per ROW; AQE coalesces this small-BYTES
+    # shuffle to a couple of partitions, which would serialize the
+    # Arrow-batched UDF stage. Spread it across the cluster explicitly.
+    n_part = max(joined.sparkSession.sparkContext.defaultParallelism * 2, 8)
     scored = (
-        pairs.join(feats.withColumnRenamed("_fid", "left_id").withColumnRenamed("_feat", "_lf"), "left_id")
-        .join(feats.withColumnRenamed("_fid", "right_id").withColumnRenamed("_feat", "_rf"), "right_id")
+        joined.repartition(n_part)
         .withColumn(
             "jw",
             jaro_winkler(

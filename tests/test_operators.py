@@ -1,0 +1,124 @@
+"""Unit tests for the training-data operator library: textstats, dedup,
+ANN, spans, vocab, hashing invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_lang_id_accuracy(spark):
+    # note: the driver's documents.lang column labels synthetic English-
+    # ish token soup, so it is NOT linguistic ground truth; test the
+    # heuristic on real-language sentences instead
+    from cogie_spark.operators.textstats import lang_id
+
+    rows = [
+        ("en", "the cat sat on a mat and looked to the door for a while"),
+        ("de", "der hund ist mit einem ball und die katze ist zu haus"),
+        ("fr", "le chien est dans la maison et les chats sont pour un moment"),
+        ("es", "el perro y los gatos es una casa por la manana"),
+        ("und", "zzz qqq xxx yyy www"),
+    ]
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    pred = df.select("lang", lang_id("text").alias("pred")).collect()
+    for r in pred:
+        assert r["lang"] == r["pred"], (r["lang"], r["pred"])
+
+
+def test_quality_features_bounds(spark):
+    from cogie_spark.operators.textstats import quality_features
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    qf = quality_features(d).select("punct_ratio", "digit_ratio", "quality_score").collect()
+    for r in qf:
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["digit_ratio"] <= 1.0
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    from cogie_spark.functions.similarity import simhash_hamming64
+    from cogie_spark.operators.dedup import simhash_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        ["id", "text"],
+    )
+    sh = simhash_table(df, "id", "text", bits=64).collect()
+    vals = {r["doc_id_out"]: r["simhash"] for r in sh}
+    d = spark.createDataFrame(
+        [(vals[1], vals[2]), (vals[1], vals[3])], ["a", "b"]
+    ).select(simhash_hamming64("a", "b").alias("h")).collect()
+    assert d[0]["h"] < d[1]["h"]  # similar docs have closer simhash
+
+
+def test_ann_bucketed_recall(spark):
+    """Bucketed ANN recall@5 vs brute force on real embeddings."""
+    from cogie_spark.operators.ann import brute_force_topk, bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
+    exact = brute_force_topk(emb, probes, k=5)
+    approx = bucketed_topk(emb, probes, k=5, n_bits=4)
+    hits = exact.join(approx, ["probe_id", "vec_id"], "inner").count()
+    total = exact.count()
+    assert hits / total >= 0.3, f"recall {hits}/{total}"  # 4-bit buckets, small corpus
+
+
+def test_bio_decode_matches_reference_semantics(spark):
+    """Cases from the reference's _bio_tag_to_spans
+    (/root/reference/cogie/toolkit/ner/ner_toolkit.py:212-229): I after O
+    starts a span; label change inside I starts a new span."""
+    from cogie_spark.operators.spans import bio_decode
+
+    rows = [
+        (0, 0, 0, "a", "B-PER"), (0, 0, 1, "b", "I-PER"), (0, 0, 2, "c", "O"),
+        (0, 0, 3, "d", "I-LOC"),            # I after O -> new LOC span
+        (0, 0, 4, "e", "I-ORG"),            # label change -> new ORG span
+        (0, 0, 5, "f", "B-ORG"),            # B always new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sent_id long, pos long, token string, tag string")
+    spans = {(r["label"], r["start"], r["end"]) for r in bio_decode(df).collect()}
+    assert spans == {("PER", 0, 2), ("LOC", 3, 4), ("ORG", 4, 5), ("ORG", 5, 6)}
+
+
+def test_vocab_encode_roundtrip(spark):
+    from cogie_spark.operators.vocab import build_vocab, encode_tokens
+
+    df = spark.createDataFrame([(1, "a b c a"), (2, "b b d")], ["id", "text"])
+    vocab = build_vocab(df, "text", min_freq=1, n_special=2)
+    v = {r["word"]: r["idx"] for r in vocab.collect()}
+    # b has count 3 -> idx 2 (first after specials); a count 2 -> 3; c,d count 1 -> 4,5 alpha
+    assert v == {"b": 2, "a": 3, "c": 4, "d": 5}
+    enc = encode_tokens(df, vocab, "text")
+    got = {r["id"]: r["token_ids"] for r in enc.collect()}
+    assert got[1] == [3, 2, 4, 3]
+    assert got[2] == [2, 2, 5]
+
+
+def test_winnow_shared_fingerprints(spark):
+    """Documents sharing a long substring share winnow fingerprints."""
+    from cogie_spark.operators.textstats import winnow_fingerprints
+
+    common = "the common shared middle section of considerable length here"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + common), (2, "totally other start " + common)],
+        ["id", "text"],
+    )
+    fp = df.select("id", winnow_fingerprints("text").alias("fp")).collect()
+    s1, s2 = (set(r["fp"]) for r in sorted(fp, key=lambda r: r["id"]))
+    assert len(s1 & s2) > 0
+
+
+def test_stable_id_and_h64_determinism(spark):
+    from cogie_spark.functions.hashing import h64, stable_id
+
+    df = spark.createDataFrame([("x", "y"), ("x", "y")], ["a", "b"])
+    r = df.select(stable_id("a", "b").alias("sid"), h64(F.col("a")).alias("h")).collect()
+    assert r[0] == r[1]
+    assert len(r[0]["sid"]) == 64

@@ -1,0 +1,42 @@
+"""Incremental linkage: two consecutive micro-batches through the same
+foreachBatch handler; later duplicates must join the clusters formed by
+earlier batches."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cogie_spark.fixtures.codefiles import code_files
+from cogie_spark.io.tableio import TableIO
+from cogie_spark.streaming.incremental import incremental_link_batch
+
+
+def test_incremental_two_batches(spark):
+    files = code_files(spark, n_groups=12, seed=42, with_truth=True).cache()
+    # batch 1: member_idx 0 of every group; batch 2: the mutated copies
+    b1 = files.filter("member_idx = 0").drop("group_id", "member_idx")
+    b2 = files.filter("member_idx > 0").drop("group_id", "member_idx")
+    truth = {
+        r["file_id"]: r["group_id"]
+        for r in files.select("file_id", "group_id").collect()
+    }
+
+    state = TableIO(spark, tempfile.mkdtemp(prefix="cogie_stream_"))
+    a1 = incremental_link_batch(b1, state, batch_id=0)
+    assert a1.count() == b1.count()
+
+    a2 = incremental_link_batch(b2, state, batch_id=1)
+    assert a2.count() == b2.count()
+
+    # every batch-2 row must land in the cluster of its group's base row
+    members = spark.read.parquet(f"{state.base}/members_delta_*")
+    got = {r["file_id"]: r["cluster_id"] for r in members.select("file_id", "cluster_id").collect()}
+    assert len(got) == files.count()
+    # group -> set of cluster ids among members; each group must be one cluster
+    by_group: dict[int, set] = {}
+    for fid, gid in truth.items():
+        by_group.setdefault(gid, set()).add(got[fid])
+    frag = {g: cs for g, cs in by_group.items() if len(cs) > 1}
+    assert not frag, f"groups split across clusters: {frag}"
