@@ -781,3 +781,90 @@ def q25(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (brute-force baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(emb, threshold=0.4)
+
+
+# =====================================================================
+# The EL chain (SURVEY §3.1 lifecycle): blocking join -> pair scoring ->
+# argmax winner -> entity enrichment -> sameAs with 'unk' miss handling
+# =====================================================================
+
+@q(
+    "q34_el_chain",
+    """
+    WITH entities AS (
+      SELECT p_partkey AS local_id, lower(p_name) AS title,
+             p_type AS text, p_partkey * 10 AS wikipedia_id,
+             'https://en.wikipedia.org/wiki?curid=' || CAST(p_partkey * 10 AS VARCHAR) AS url
+      FROM part),
+    mentions AS (
+      SELECT l_orderkey AS mention_id, lower(p.p_name) AS mention
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linenumber = 1 AND l.l_orderkey % 7 = 0),
+    cands AS (
+      SELECT m.mention_id, m.mention, e.local_id, e.title, e.wikipedia_id, e.url,
+             round(jaro_winkler_similarity(m.mention, e.title), 4) AS score
+      FROM mentions m JOIN entities e
+        ON substring(m.mention, 1, 6) = substring(e.title, 1, 6)),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY mention_id ORDER BY score DESC, title, local_id) AS rk
+      FROM cands),
+    winners AS (SELECT * FROM ranked WHERE rk = 1),
+    sameas AS (
+      SELECT p_partkey * 10 AS wikipedia_id, 'Q' || CAST(p_partkey AS VARCHAR) AS cognet_id
+      FROM part WHERE p_partkey % 2 = 0)
+    SELECT w.mention_id, w.title, w.score, w.url,
+           coalesce(s.cognet_id, 'unk') AS cognet_link
+    FROM winners w LEFT JOIN sameas s ON w.wikipedia_id = s.wikipedia_id
+    """,
+)
+def q34(spark, sf_dir):
+    """The reference's /linking lifecycle as ONE DataFrame lineage
+    (SURVEY.md §3.1; /root/reference/cogie/toolkit/el/el_toolkit.py:84-152):
+
+    entities dim (el_load_candidates util.py:419-450, here derived from
+    ``part``) -> mention normalization (el_toolkit.py:87-96, F2 lower)
+    -> blocking join on title prefix (the J4 candidate generation)
+    -> pair scoring with the Jaro-Winkler pandas UDF (the cross-encoder
+    stand-in, el_toolkit.py:631-645) -> argmax winner (W2,
+    el_toolkit.py:131-133) -> entity enrichment join (J1, :133-135)
+    -> owl:sameAs left join with 'unk' miss (J2+J3, :136-142).
+    """
+    from cogie_spark.functions.similarity import jaro_winkler
+
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    entities = p.select(
+        F.col("p_partkey").alias("local_id"),
+        F.lower("p_name").alias("title"),
+        F.col("p_type").alias("text"),
+        (F.col("p_partkey") * 10).alias("wikipedia_id"),
+        F.concat(
+            F.lit("https://en.wikipedia.org/wiki?curid="),
+            (F.col("p_partkey") * 10).cast("string"),
+        ).alias("url"),
+    )
+    mentions = (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 7 == 0))
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("mention_id"), F.lower("p_name").alias("mention"))
+    )
+    cands = mentions.join(
+        F.broadcast(entities),
+        F.substring("mention", 1, 6) == F.substring("title", 1, 6),
+    ).withColumn("score", F.round(jaro_winkler(F.col("mention"), F.col("title")), 4))
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc("score"), F.asc("title"), F.asc("local_id")
+    )
+    winners = cands.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+    sameas = p.filter(F.col("p_partkey") % 2 == 0).select(
+        (F.col("p_partkey") * 10).alias("wikipedia_id"),
+        F.concat(F.lit("Q"), F.col("p_partkey").cast("string")).alias("cognet_id"),
+    )
+    return winners.join(F.broadcast(sameas), "wikipedia_id", "left").select(
+        "mention_id",
+        "title",
+        "score",
+        "url",
+        F.coalesce("cognet_id", F.lit("unk")).alias("cognet_link"),
+    )

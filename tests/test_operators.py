@@ -122,3 +122,21 @@ def test_stable_id_and_h64_determinism(spark):
     r = df.select(stable_id("a", "b").alias("sid"), h64(F.col("a")).alias("h")).collect()
     assert r[0] == r[1]
     assert len(r[0]["sid"]) == 64
+
+
+def test_multimodal_features_and_quarantine(spark):
+    from cogie_spark.operators.multimodal import extract_features, frame_sample, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media).cache()
+    assert feats.count() == 64
+    ok = feats.filter("decode_error IS NULL")
+    bad = feats.filter("decode_error IS NOT NULL")
+    assert bad.count() == 64 // 11 + (1 if 0 % 11 == 0 else 0)  # i % 11 == 0 rows
+    row = ok.first()
+    assert len(row["feature"]) == 16
+    assert abs(sum(row["feature"]) - 1.0) < 1e-9
+    # frame sampling: n_frames=100+i, every 10th
+    fs = frame_sample(media, every_n=10)
+    m0 = fs.filter("media_id = 'm0000'").count()
+    assert m0 == 10  # frames 0,10,...,90 for n_frames=100
