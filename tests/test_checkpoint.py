@@ -1,0 +1,55 @@
+"""Checkpoint manifests: atomic commits, resume-from-last-commit
+(the reference trainer's skip-to-global-step semantics,
+/root/reference/cogie/core/trainer.py:195-213)."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from cogie_spark.io.tableio import CheckpointManager
+from cogie_spark.operators.cc import connected_components
+
+
+def test_commit_and_latest_roundtrip(spark):
+    ck = CheckpointManager(spark, tempfile.mkdtemp(prefix="ck_"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    out = ck.commit("stage1", df, iteration=3, input_fingerprint="abc")
+    assert out.count() == 2
+    latest = ck.latest("stage1")
+    assert latest is not None and latest[1] == 3
+    manifest = json.loads((ck.base / "stage1" / "_manifest.json").read_text())
+    assert manifest["commits"][-1]["rows"] == 2
+    assert manifest["commits"][-1]["input_fingerprint"] == "abc"
+
+
+def test_cc_resumes_from_committed_iteration(spark):
+    """A restarted CC call with the same checkpoint dir must resume from
+    the committed edge snapshots — even if the caller passes a stale
+    edge input — and converge to the same clusters."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d")], ["left_id", "right_id"]
+    )
+    ckdir = tempfile.mkdtemp(prefix="ck_cc_")
+    first = {
+        r["file_id"]: r["cluster_id"]
+        for r in connected_components(edges, checkpoint=CheckpointManager(spark, ckdir)).collect()
+    }
+    # resume: pass an EMPTY edge list; the committed snapshot must win
+    empty = spark.createDataFrame([], "left_id string, right_id string")
+    resumed = {
+        r["file_id"]: r["cluster_id"]
+        for r in connected_components(empty, checkpoint=CheckpointManager(spark, ckdir)).collect()
+    }
+    assert resumed == first == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_metrics_and_lineage_tables(spark):
+    ck = CheckpointManager(spark, tempfile.mkdtemp(prefix="ck_m_"))
+    df = spark.createDataFrame([(1,)], ["x"])
+    ck.commit("s", df, iteration=1)
+    ck.log_metric("s", 1, "rows", 1.0)
+    m = ck.metrics_df().collect()
+    ln = ck.lineage_df().collect()
+    assert m[0]["key"] == "rows" and m[0]["stage"] == "s"
+    assert ln[0]["rows"] == 1 and ln[0]["iteration"] == 1
