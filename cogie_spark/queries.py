@@ -868,3 +868,72 @@ def q34(spark, sf_dir):
         "url",
         F.coalesce("cognet_id", F.lit("unk")).alias("cognet_link"),
     )
+
+
+# =====================================================================
+# Positional explode / name forms / weighted sampling (S2/W7, F8, A12)
+# =====================================================================
+
+@q(
+    "q35_posexplode_tokens",
+    f"""
+    SELECT doc_id, u.pos AS pos, u.tok AS token FROM (
+      SELECT doc_id, unnest(list_transform(range(1, len(__t) + 1),
+                     i -> {{'pos': i - 1, 'tok': __t[i]}})) AS u
+      FROM (SELECT doc_id, {_toks('text')} AS __t FROM documents WHERE doc_id < 20))
+    """,
+)
+def q35(spark, sf_dir):
+    """Positional token explode (S2 sentence split / W7 positional index;
+    /root/reference/cogie/io/loader/ner/trex_ner.py:22-64)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 20")
+    return d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+
+
+@q(
+    "q36_name_forms",
+    """
+    SELECT p_partkey, unnest(list_distinct([
+        p_name, lower(p_name), upper(p_name),
+        upper(substring(p_name, 1, 1)) || lower(substring(p_name, 2))
+    ])) AS form
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def q36(spark, sf_dir):
+    """F8 name-form generation (get_all_forms,
+    /root/reference/cogie/utils/util.py:365-372): capitalization variant
+    array -> explode."""
+    p = _t(spark, sf_dir, "part").filter("p_partkey <= 200")
+    capfirst = F.concat(
+        F.upper(F.substring("p_name", 1, 1)), F.lower(F.expr("substring(p_name, 2)"))
+    )
+    forms = F.array_distinct(
+        F.array(F.col("p_name"), F.lower("p_name"), F.upper("p_name"), capfirst)
+    )
+    return p.select("p_partkey", F.explode(forms).alias("form"))
+
+
+@q(
+    "q37_weighted_sampling",
+    """
+    SELECT user_id,
+           CASE WHEN max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+                THEN 5.0::DOUBLE ELSE 1.0::DOUBLE END AS weight
+    FROM events GROUP BY user_id
+    """,
+)
+def q37(spark, sf_dir):
+    """A12 existence-weighted sampling (get_samples_weight,
+    /root/reference/cogie/utils/util.py:405-417): weight 5.0 if any
+    non-O trigger exists in the row group, else 1.0."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.when(
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)) == 1, 5.0
+        )
+        .otherwise(1.0)
+        .alias("weight")
+    )
