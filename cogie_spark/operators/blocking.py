@@ -150,36 +150,51 @@ def candidate_pairs(
     id_col: str = "file_id",
     key_cols: tuple[str, ...] = ("lang",),
     max_block_size: int = 64,
+    salvage_factor: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
-    """Self-join blocks into deduped candidate pairs with a skew guardrail.
+    """Self-join blocks into deduped candidate pairs with a two-tier
+    skew guardrail: SALT the hot blocks, DROP the pathological ones.
 
-    Returns (pairs, dropped_blocks):
-    - pairs: (left_id, right_id, *key_cols) distinct, left < right.
-    - dropped_blocks: blocks over ``max_block_size`` with their sizes —
-      the caller logs/persists these (north rule: no silent caps).
+    - blocks <= max_block_size: joined as-is.
+    - blocks in (max_block_size, max_block_size*salvage_factor]: each
+      member gets a deterministic per-(block, member) salt in
+      [0, ceil(size/cap)); pairs form only within a salt bucket, so no
+      join task ever sees more than ~cap^2 comparisons. Because the
+      salt is drawn independently PER BAND, a true pair in a hot block
+      still meets in some band with prob 1-(1-1/k)^bands (16 bands,
+      k=5 -> 0.972) — band multiplicity is the salting recovery.
+    - blocks beyond the salvage tier are dropped AND returned in
+      ``dropped_blocks`` for logging (north rule: no silent caps) —
+      a 10^5-member boilerplate block would otherwise emit 5*10^9 pairs.
 
-    The block-size computation is one extra aggregation over the block
-    table; at scale it is far cheaper than the quadratic blow-up it
-    prevents (a single 10^5-member boilerplate block would emit 5*10^9
-    pairs).
+    Returns (pairs, dropped_blocks).
     """
     from pyspark import StorageLevel
 
     key = [*key_cols, "band_id", "band_hash"]
-    # materialize the block table once: it is referenced three times
-    # (size agg + both sides of the self-join); recomputing it would
-    # re-run the MinHash pass per reference. MEMORY_AND_DISK spills at
-    # scale instead of recomputing.
+    # materialize the block table once: it is referenced by the size
+    # aggregation and both sides of the self-join; recomputing would
+    # re-run the MinHash pass. MEMORY_AND_DISK spills at scale.
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = blocks.groupBy(*key).agg(F.count("*").alias("block_size"))
-    ok = sizes.filter(F.col("block_size") <= max_block_size).select(*key)
-    dropped = sizes.filter(F.col("block_size") > max_block_size)
+    keep = sizes.filter(F.col("block_size") <= max_block_size * salvage_factor)
+    dropped = sizes.filter(F.col("block_size") > max_block_size * salvage_factor)
 
-    pruned = blocks.join(ok, key, "inner")
-    a = pruned.alias("a")
-    b = pruned.alias("b")
+    n_salt = F.when(F.col("block_size") <= max_block_size, F.lit(1)).otherwise(
+        F.ceil(F.col("block_size") / max_block_size).cast("int")
+    )
+    salted = (
+        blocks.join(keep, key, "inner")
+        .withColumn("_nsalt", n_salt)
+        .withColumn("salt", F.pmod(F.xxhash64(id_col, "band_hash"), F.col("_nsalt")))
+        .drop("_nsalt", "block_size")
+    )
+
+    join_key = [*key, "salt"]
+    a = salted.alias("a")
+    b = salted.alias("b")
     join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    for k in key:
+    for k in join_key:
         join_cond = join_cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     pairs = (
         a.join(b, join_cond)

@@ -830,8 +830,6 @@ def q34(spark, sf_dir):
     el_toolkit.py:131-133) -> entity enrichment join (J1, :133-135)
     -> owl:sameAs left join with 'unk' miss (J2+J3, :136-142).
     """
-    from cogie_spark.functions.similarity import jaro_winkler
-
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     entities = p.select(
@@ -849,24 +847,14 @@ def q34(spark, sf_dir):
         .join(p, li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("mention_id"), F.lower("p_name").alias("mention"))
     )
-    cands = mentions.join(
-        F.broadcast(entities),
-        F.substring("mention", 1, 6) == F.substring("title", 1, 6),
-    ).withColumn("score", F.round(jaro_winkler(F.col("mention"), F.col("title")), 4))
-    w = Window.partitionBy("mention_id").orderBy(
-        F.desc("score"), F.asc("title"), F.asc("local_id")
-    )
-    winners = cands.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
     sameas = p.filter(F.col("p_partkey") % 2 == 0).select(
         (F.col("p_partkey") * 10).alias("wikipedia_id"),
         F.concat(F.lit("Q"), F.col("p_partkey").cast("string")).alias("cognet_id"),
     )
-    return winners.join(F.broadcast(sameas), "wikipedia_id", "left").select(
-        "mention_id",
-        "title",
-        "score",
-        "url",
-        F.coalesce("cognet_id", F.lit("unk")).alias("cognet_link"),
+    from cogie_spark.operators.linking import link_mentions
+
+    return link_mentions(mentions, entities, sameas).select(
+        "mention_id", "title", "score", "url", "cognet_link"
     )
 
 

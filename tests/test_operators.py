@@ -140,3 +140,32 @@ def test_multimodal_features_and_quarantine(spark):
     fs = frame_sample(media, every_n=10)
     m0 = fs.filter("media_id = 'm0000'").count()
     assert m0 == 10  # frames 0,10,...,90 for n_frames=100
+
+
+def test_feature_functions_match_reference_quota_math(spark):
+    """F4 quota math (el_toolkit.py:217-230), F5 padding, F15 masks."""
+    from cogie_spark.functions.features import context_window, pad_to, seq_len_mask
+
+    df = spark.createDataFrame(
+        [
+            (list("abcdefgh"), list("xy")),   # left long, right short
+            (list("ab"), list("uvwxyz")),     # left short, right long
+            ([], list("pqrs")),               # empty left
+        ],
+        "l array<string>, r array<string>",
+    )
+    got = df.select(context_window("l", "r", 6).alias("w")).collect()
+    # max_len=6, half=3: row1 right gives 2, left gets 3+(3-2)=4 -> tail 'efgh'
+    assert (got[0]["w"]["left"], got[0]["w"]["right"]) == (list("efgh"), list("xy"))
+    # row2: left gives 2, right gets 3+1=4 -> head 'uvwx'
+    assert (got[1]["w"]["left"], got[1]["w"]["right"]) == (list("ab"), list("uvwx"))
+    # row3: left empty, right gets full 6 but only 4 exist
+    assert (got[2]["w"]["left"], got[2]["w"]["right"]) == ([], list("pqrs"))
+
+    p = spark.createDataFrame([([1, 2, 3],), ([1, 2, 3, 4, 5],)], "a array<int>")
+    out = p.select(pad_to("a", 4, 0).alias("x")).collect()
+    assert out[0]["x"] == [1, 2, 3, 0]
+    assert out[1]["x"] == [1, 2, 3, 4]
+
+    m = spark.createDataFrame([(2,)], "n int").select(seq_len_mask("n", 4).alias("m")).collect()
+    assert m[0]["m"] == [True, True, False, False]

@@ -81,3 +81,30 @@ def test_exact_prededup_clusters_identical_content(spark):
     n_clusters = out["clusters"].select("cluster_id").distinct().count()
     assert n_clusters == 1
     assert out["clusters"].count() == 30
+
+
+def test_salted_hot_blocks(spark):
+    """A hot block (size >> cap) must be salted, not dropped: join tasks
+    stay bounded, and band multiplicity recovers most pairs."""
+    from pyspark.sql import functions as F
+
+    from cogie_spark.operators.blocking import candidate_pairs
+
+    # synth block table: 200 ids sharing every one of 16 bands
+    ids = spark.range(200).select(F.format_string("f%04d", "id").alias("file_id"))
+    bands = spark.range(16).select(F.col("id").cast("int").alias("band_id"))
+    blocks = ids.crossJoin(bands).select(
+        "file_id", F.lit("python").alias("lang"), "band_id",
+        F.concat(F.lit("hot"), F.col("band_id").cast("string")).alias("band_hash"),
+    )
+    pairs, dropped = candidate_pairs(blocks, max_block_size=32, salvage_factor=32)
+    n = pairs.count()
+    full = 200 * 199 // 2
+    assert dropped.count() == 0
+    # band-multiplicity recovery: expect >= 90% of pairs, but never more
+    assert 0.9 * full <= n <= full, (n, full)
+
+    # beyond the salvage tier -> dropped and reported
+    pairs2, dropped2 = candidate_pairs(blocks, max_block_size=2, salvage_factor=4)
+    assert dropped2.count() == 16
+    assert pairs2.count() == 0
