@@ -925,3 +925,60 @@ def q37(spark, sf_dir):
         .otherwise(1.0)
         .alias("weight")
     )
+
+
+# =====================================================================
+# Span/set F1 (A4/A10) and array sort (W4)
+# =====================================================================
+
+@q(
+    "q38_set_f1",
+    """
+    WITH pred AS (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 150000),
+    gold AS (SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+    j AS (SELECT coalesce(p.k, g.k) AS k, p.k IS NOT NULL AS in_p, g.k IS NOT NULL AS in_g
+          FROM pred p FULL OUTER JOIN gold g ON p.k = g.k)
+    SELECT sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) AS tp,
+           sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END) AS fp,
+           sum(CASE WHEN NOT in_p AND in_g THEN 1 ELSE 0 END) AS fn,
+           round(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END)::DOUBLE
+                 / greatest(sum(CASE WHEN in_p THEN 1 ELSE 0 END), 1), 6) AS precision,
+           round(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END)::DOUBLE
+                 / greatest(sum(CASE WHEN in_g THEN 1 ELSE 0 END), 1), 6) AS recall
+    FROM j
+    """,
+)
+def q38(spark, sf_dir):
+    """A4/A10 set-F1 as one full-outer join + one aggregation — the
+    reference's TP/FP/FN counter semantics (SpanFPreRecMetric,
+    /root/reference/cogie/core/metrics.py:599-649; calc_metric
+    util.py:50-77)."""
+    o = _t(spark, sf_dir, "orders")
+    pred = o.filter("o_totalprice > 150000").select(F.col("o_orderkey").alias("k"), F.lit(True).alias("in_p"))
+    gold = o.filter("o_orderpriority = '1-URGENT'").select(F.col("o_orderkey").alias("k"), F.lit(True).alias("in_g"))
+    j = pred.join(gold, "k", "full_outer").select(
+        F.coalesce("in_p", F.lit(False)).alias("in_p"),
+        F.coalesce("in_g", F.lit(False)).alias("in_g"),
+    )
+    tp = F.sum(F.when(F.col("in_p") & F.col("in_g"), 1).otherwise(0))
+    return j.agg(
+        tp.alias("tp"),
+        F.sum(F.when(F.col("in_p") & ~F.col("in_g"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("in_p") & F.col("in_g"), 1).otherwise(0)).alias("fn"),
+        F.round(tp.cast("double") / F.greatest(F.sum(F.when(F.col("in_p"), 1).otherwise(0)), F.lit(1)), 6).alias("precision"),
+        F.round(tp.cast("double") / F.greatest(F.sum(F.when(F.col("in_g"), 1).otherwise(0)), F.lit(1)), 6).alias("recall"),
+    )
+
+
+@q(
+    "q39_sorted_tokens",
+    f"""
+    SELECT doc_id, list_sort(list_distinct({_toks('text')})) AS sorted_tokens
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def q39(spark, sf_dir):
+    """W4 sort + U2 distinct inside arrays (ner_toolkit.py:95,168 span
+    sort; rc/trex.py:64 array sorts)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 30")
+    return d.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("sorted_tokens"))

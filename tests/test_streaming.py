@@ -40,3 +40,22 @@ def test_incremental_two_batches(spark):
         by_group.setdefault(gid, set()).add(got[fid])
     frag = {g: cs for g, cs in by_group.items() if len(cs) > 1}
     assert not frag, f"groups split across clusters: {frag}"
+
+
+def test_stream_wiring_availablenow(spark):
+    """Real readStream -> foreachBatch -> state path over a file source."""
+    import tempfile
+
+    from cogie_spark.streaming.incremental import start_incremental_stream
+
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    state_dir = tempfile.mkdtemp(prefix="stream_state_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    files = code_files(spark, n_groups=8, seed=42)
+    files.write.mode("overwrite").parquet(src)
+
+    q = start_incremental_stream(spark, src, state_dir, ckpt)
+    q.awaitTermination(300)
+    members = spark.read.parquet(f"{state_dir}/members_delta_*")
+    assert members.count() == files.count()
+    assert set(members.columns) == {"file_id", "cluster_id", "lang", "content"}
