@@ -85,6 +85,15 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
     return wrapped
 
 
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media -> feature vectors
+    with per-row decode quarantine (decode itself is stubbed —
+    cogie_spark/operators/multimodal.py)."""
+    from cogie_spark.operators.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, n=96))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cogie_spark.queries import QUERIES
 
@@ -92,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q40_flagship_clusters"] = _flagship_clusters
     out["q41_flagship_pairwise_f1"] = _flagship_eval
     out["q33_bio_span_decode"] = _bio_spans
+    out["q42_multimodal_features"] = _multimodal_features
     return {name: _shipped(fn) for name, fn in out.items()}
 
 

@@ -146,9 +146,11 @@ def code_files(
                 {c.split()[0]: [] for c in CODE_FILES_SCHEMA.split(", ")}
             )
 
-    df = (
-        spark.range(0, n_groups, 1, numPartitions=max(2, n_groups // 200))
-        .mapInPandas(gen, schema=CODE_FILES_SCHEMA)
+    # partition count tracks cores (generation is Python-CPU-bound) but
+    # caps rows-per-partition so huge fixtures still stream
+    n_part = max(spark.sparkContext.defaultParallelism, n_groups // 200, 2)
+    df = spark.range(0, n_groups, 1, numPartitions=n_part).mapInPandas(
+        gen, schema=CODE_FILES_SCHEMA
     )
     if not with_truth:
         df = df.drop("group_id", "member_idx")

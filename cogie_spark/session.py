@@ -44,7 +44,9 @@ def get_spark(
         # broadcast anything under 64 MB — entity/dim tables are small
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("COGIE_DRIVER_MEM", "8g"))
+        # local mode = one JVM for driver+executors: give it real heap
+        # or 32 concurrent tasks thrash GC (sandbox has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("COGIE_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
