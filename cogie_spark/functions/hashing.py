@@ -103,48 +103,6 @@ def minhash_from_hashes(hashes: Column, num_perm: int) -> Column:
     return F.array(*mins)
 
 
-def minhash_signature_sql(shingles_expr: str, num_perm: int) -> str:
-    """DuckDB SQL twin of :func:`minhash_signature` (for oracles)."""
-    base = f"list_transform({shingles_expr}, s -> ('0x' || substring(md5(s),1,7))::BIGINT)"
-    mins = []
-    for i in range(num_perm):
-        a, b = _perm_coeffs(i)
-        mins.append(f"list_min(list_transform(__h, h -> ({a} * h + {b}) % {MINHASH_P}))")
-    return "(SELECT [" + ", ".join(mins) + f"] FROM (SELECT {base} AS __h))"
-
-
-_MAX60 = (1 << 60) - 1
-
-
-def fast_minhash_signature(shingles: Column, num_perm: int) -> Column:
-    """Pipeline-speed MinHash: xxhash64 base hash (native JVM intrinsic,
-    no md5 string round-trip) and a SINGLE aggregate pass computing all
-    ``num_perm`` minima with an array accumulator — O(|shingles|) array
-    allocations instead of O(num_perm * |shingles|).
-
-    Not DuckDB-portable (xxhash64); the oracle-checked queries use
-    :func:`minhash_signature` instead. Same LSH mathematics.
-    """
-    h = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 28)))
-    idx = F.sequence(F.lit(0), F.lit(num_perm - 1))
-
-    def perms_of(x: Column) -> Column:
-        # a_i = (A*i + 1) % P, b_i = (B*i + 7) % P — same family as
-        # _perm_coeffs, generated as expressions over the perm index
-        return F.transform(
-            idx,
-            lambda i: (
-                ((F.lit(_A_MULT) * i + 1) % F.lit(MINHASH_P)) * x
-                + ((F.lit(_B_MULT) * i + 7) % F.lit(MINHASH_P))
-            )
-            % F.lit(MINHASH_P),
-        )
-
-    init = F.array_repeat(F.lit(_MAX60).cast("bigint"), num_perm)
-    return F.aggregate(
-        h, init, lambda acc, x: F.zip_with(acc, perms_of(x), lambda p, q: F.least(p, q))
-    )
-
 
 def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Split a MinHash signature into LSH bands.

@@ -21,8 +21,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cogie_spark.functions.similarity import jaro_winkler, token_set_ratio
-from cogie_spark.functions.text import normalize_text
+from cogie_spark.functions.similarity import (
+    jaro_winkler,
+    tfidf_cosine_udf,
+    token_set_ratio,
+)
+from cogie_spark.functions.text import normalize_text, tokens
+
+
+def corpus_idf(
+    files: DataFrame, content_col: str = "content", max_terms: int = 100_000
+) -> dict[str, float]:
+    """token -> log(N/df) over the corpus, capped at the ``max_terms``
+    most-frequent terms (the cap bounds the broadcast at 10^12-file
+    scale; tokens outside the cap default to weight 1.0 inside the UDF).
+
+    This is the deterministic stand-in for the reference's precomputed
+    candidate encodings (/root/reference/cogie/models/el/biencoder.py:
+    127-128): built once, shipped to every executor, reused per batch.
+    """
+    import math
+
+    n_docs = files.count() or 1
+    df_rows = (
+        files.select(F.explode(F.array_distinct(tokens(content_col))).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("t"))
+        .limit(max_terms)
+        .collect()
+    )
+    return {r["t"]: math.log(n_docs / r["df"]) + 1.0 for r in df_rows}
 
 
 def score_pairs(
@@ -32,22 +62,26 @@ def score_pairs(
     content_col: str = "content",
     feature_chars: int = 2000,
     jw_chars: int = 256,
-    weights: tuple[float, float] = (0.3, 0.7),
+    weights: tuple[float, float, float] = (0.2, 0.5, 0.3),
+    idf: dict[str, float] | None = None,
 ) -> DataFrame:
     """Join pair ids to features and compute the blended score.
 
-    score = w_jw * jaro_winkler + w_ts * token_set_ratio.
+    score = w_jw * jaro_winkler + w_ts * token_set_ratio
+          + w_tf * tfidf_cosine — the north rule's scorer triple, all
+    Arrow-batched pandas UDFs (the cross-encoder replacement).
     Jaro-Winkler (quadratic in the worst case) sees only the first
     ``jw_chars`` chars — the same bounded-feature-width discipline as the
-    reference's max_context_length=32 tokens; token_set_ratio sees the
-    full ``feature_chars`` window (its DP row is vectorized in numpy).
+    reference's max_context_length=32 tokens; the other two see the full
+    ``feature_chars`` window (the Levenshtein DP row is vectorized).
     Two shuffles (the two feature joins); the scorers are narrow stages.
     """
     feats = files.select(
         F.col(id_col).alias("_fid"),
         F.substring(normalize_text(content_col), 1, feature_chars).alias("_feat"),
     )
-    w_jw, w_ts = weights
+    w_jw, w_ts, w_tf = weights
+    tf_cos = tfidf_cosine_udf(idf)
     joined = pairs.join(
         feats.withColumnRenamed("_fid", "left_id").withColumnRenamed("_feat", "_lf"), "left_id"
     ).join(feats.withColumnRenamed("_fid", "right_id").withColumnRenamed("_feat", "_rf"), "right_id")
@@ -64,7 +98,11 @@ def score_pairs(
             ),
         )
         .withColumn("ts", token_set_ratio(F.col("_lf"), F.col("_rf")))
-        .withColumn("score", F.lit(w_jw) * F.col("jw") + F.lit(w_ts) * F.col("ts"))
+        .withColumn("tfidf", tf_cos(F.col("_lf"), F.col("_rf")))
+        .withColumn(
+            "score",
+            F.lit(w_jw) * F.col("jw") + F.lit(w_ts) * F.col("ts") + F.lit(w_tf) * F.col("tfidf"),
+        )
         .drop("_lf", "_rf")
     )
     return scored

@@ -60,7 +60,10 @@ class LinkageConfig:
     # Jaccard estimate is below this before the pandas-UDF scorers
     prefilter_est_jaccard: float = 0.45
     cc_max_iter: int = 20
-    weights: tuple[float, float] = (0.3, 0.7)
+    weights: tuple[float, float, float] = (0.2, 0.5, 0.3)
+    # cap on the IDF broadcast vocabulary (corpus_idf); 0 disables the
+    # tf-idf scorer's corpus weighting (plain TF cosine)
+    idf_max_terms: int = 100_000
     # collapse byte-identical files (same sha256) to one representative
     # BEFORE blocking: identical boilerplate otherwise forms the hottest
     # LSH blocks, and at 10^12 files the quadratic pair step must only
@@ -161,6 +164,13 @@ def run_linkage(
         # each reference the pair table — never recompute the self-join
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
 
+    from cogie_spark.operators.scoring import corpus_idf
+
+    idf = (
+        corpus_idf(files, content_col=cfg.content_col, max_terms=cfg.idf_max_terms)
+        if cfg.idf_max_terms
+        else None
+    )
     scored = score_pairs(
         pairs,
         files,
@@ -168,6 +178,7 @@ def run_linkage(
         content_col=cfg.content_col,
         feature_chars=cfg.feature_chars,
         weights=cfg.weights,
+        idf=idf,
     )
     if checkpoint is not None:
         scored = checkpoint.commit("scored", scored)
