@@ -67,19 +67,42 @@ def main():
     n_groups = int(os.environ.get("COGIE_BENCH_GROUPS", "3000"))
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
 
+    if "--leg" in sys.argv:
+        # one scaling leg, run inside a core-pinned subprocess
+        cores = int(sys.argv[sys.argv.index("--leg") + 1])
+        timings, extras = run_once(f"local[{cores}]", sf_dir, n_groups, cores)
+        print(
+            json.dumps(
+                {
+                    "flagship_sec": timings["flagship_linkage"],
+                    "pairs_per_sec": extras["pairs_scored_per_sec"],
+                    "total_sec": round(sum(timings.values()), 2),
+                }
+            )
+        )
+        return
+
     if "--scaling" in sys.argv:
         # same input, two parallelism levels — the north rule's two-
-        # cluster-size scaling evidence (local[8] vs local[32])
+        # cluster-size scaling evidence. Each leg runs in its own
+        # subprocess pinned (taskset) to exactly N cores, so local[8]
+        # really is an 8-core machine: without pinning the 8-slot JVM
+        # still uses all host cores for GC / Python workers / codegen,
+        # which understates true N-vs-4N scaling.
+        import shutil
+        import subprocess
+
         result = {}
-        for m, sh in [("local[8]", 8), ("local[32]", 32)]:
-            t0 = time.time()
-            timings, extras = run_once(m, sf_dir, n_groups, sh)
-            wall = sum(timings.values())
-            result[m] = {
-                "flagship_sec": timings["flagship_linkage"],
-                "pairs_per_sec": extras["pairs_scored_per_sec"],
-                "total_sec": round(wall, 2),
-            }
+        for cores in (8, 32):
+            cmd = []
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"]
+            cmd += [sys.executable, os.path.abspath(__file__), "--leg", str(cores)]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=dict(os.environ)
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            result[f"local[{cores}]"] = json.loads(line)
         eff = (result["local[32]"]["pairs_per_sec"] / result["local[8]"]["pairs_per_sec"]) / 4.0
         result["scaling_efficiency_8_to_32"] = round(eff, 3)
         print(json.dumps(result))

@@ -115,7 +115,12 @@ def minhash_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     structs = []
     for b in range(bands):
         sl = F.slice(signature, b * rows_per_band + 1, rows_per_band)
-        band_hash = F.md5(F.concat_ws("_", F.transform(sl, lambda x: x.cast("string"))))
+        # BIGINT band hash: block keys are shuffled/sorted billions of
+        # times at scale — 8-byte longs beat 32-char md5 strings on
+        # every axis (bytes moved, comparisons, hashing). xxhash64 over
+        # the concatenated minima; the value never crosses engines
+        # (oracles verify pair OUTPUT, not band representation).
+        band_hash = F.xxhash64(F.concat_ws("_", F.transform(sl, lambda x: x.cast("string"))))
         structs.append(F.struct(F.lit(b).alias("band_id"), band_hash.alias("band_hash")))
     return F.array(*structs)
 

@@ -147,19 +147,24 @@ def token_set_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 # ------------------------------------------------------------------ tfidf cosine
-def tfidf_cosine_udf(idf: dict[str, float] | None = None):
+def tfidf_cosine_udf(idf=None):
     """Build a pandas UDF scoring cosine over TF(-IDF) token vectors.
 
-    ``idf`` maps token -> idf weight; tokens absent from the map get
-    weight 1.0 (hash-trick fallback). Pass the dict via closure — Spark
-    serializes it to executors once per task, mirroring the reference's
-    singleton candidate-encoding cache
-    (/root/reference/cogie/toolkit/el/el_toolkit.py:75-82).
+    ``idf`` maps token -> idf weight (plain dict or a pyspark Broadcast
+    of one); tokens absent from the map get weight 1.0 (hash-trick
+    fallback). Callers with a large vocabulary should pass
+    ``sc.broadcast(dict)`` — a raw dict is captured in the task binary
+    and re-shipped per stage, a Broadcast is fetched once per executor
+    (the reference's singleton candidate-encoding cache,
+    /root/reference/cogie/toolkit/el/el_toolkit.py:75-82).
     """
-    idf_map = idf or {}
+    from pyspark.broadcast import Broadcast
+
+    _holder = idf if idf is not None else {}
 
     @pandas_udf(DoubleType())
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        idf_map = _holder.value if isinstance(_holder, Broadcast) else _holder
         out = np.empty(len(a), dtype=np.float64)
         av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
         for i in range(len(av)):

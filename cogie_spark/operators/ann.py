@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cogie_spark.functions.hashing import MINHASH_P, base_hash28
+from cogie_spark.functions.hashing import base_hash28
 from cogie_spark.functions.similarity import cosine_native
 
 

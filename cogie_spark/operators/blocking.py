@@ -12,11 +12,11 @@ Scale design (the part that must survive 10^12 files):
   the space; band_hash is the MinHash band collision.
 - Pair generation is a self-join on the block key. Its cost is
   sum(block_size^2), so skew is THE failure mode: boilerplate files
-  (license headers, empty files) form mega-blocks. We cap block size
-  with an explicit, LOGGED guardrail (never silent — SURVEY.md §2):
-  blocks above ``max_block_size`` are dropped from pair generation and
-  reported in the returned stats dict. AQE skew-join handles residual
-  imbalance below the cap.
+  (license headers, empty files) form mega-blocks. Two-tier guardrail
+  (candidate_pairs): hot blocks are SALTED per band (bounded join
+  tasks, band multiplicity recovers the pairs), pathological blocks
+  are dropped AND returned for logging (never silent — SURVEY.md §2).
+  AQE skew-join handles residual imbalance below the cap.
 - Pairs are deduped across bands with a groupBy on (left,right) — the
   map-side partial aggregation makes this cheap.
 """
@@ -26,8 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cogie_spark.functions.hashing import base_hash28, minhash_bands, minhash_from_hashes
-from cogie_spark.functions.text import char_shingles
+from cogie_spark.functions.hashing import base_hash28, minhash_bands
 
 
 def signature_table(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from cogie_spark.functions.hashing import simhash64
 from cogie_spark.functions.similarity import cosine_native
 from cogie_spark.functions.text import char_shingles, tokens
-from cogie_spark.operators.blocking import candidate_pairs, with_blocks
+from cogie_spark.operators.blocking import candidate_pairs
 
 
 def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -166,11 +166,13 @@ def run_linkage(
 
     from cogie_spark.operators.scoring import corpus_idf
 
-    idf = (
-        corpus_idf(files, content_col=cfg.content_col, max_terms=cfg.idf_max_terms)
-        if cfg.idf_max_terms
-        else None
-    )
+    idf = None
+    if cfg.idf_max_terms:
+        # proper Broadcast: fetched once per executor instead of being
+        # re-shipped inside every stage's task binary
+        idf = files.sparkSession.sparkContext.broadcast(
+            corpus_idf(files, content_col=cfg.content_col, max_terms=cfg.idf_max_terms)
+        )
     scored = score_pairs(
         pairs,
         files,

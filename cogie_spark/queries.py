@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cogie_spark.functions.hashing import MINHASH_P, _perm_coeffs, base_hash28, h64, simhash64
-from cogie_spark.functions.text import char_shingles, normalize_text, tokens
+from cogie_spark.functions.text import char_shingles, tokens
 from cogie_spark.operators.ann import brute_force_topk
 from cogie_spark.operators.dedup import (
     embedding_near_duplicates,

@@ -23,11 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cogie_spark.io.tableio import TableIO
-from cogie_spark.operators.blocking import (
-    bands_from_signatures,
-    estimate_jaccard,
-    signature_table,
-)
+from cogie_spark.operators.blocking import bands_from_signatures, signature_table
 from cogie_spark.operators.scoring import score_pairs
 
 
