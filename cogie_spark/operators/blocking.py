@@ -132,9 +132,17 @@ def estimate_jaccard(sig_a: F.Column, sig_b: F.Column, num_perm: int) -> F.Colum
     """MinHash agreement fraction — an unbiased Jaccard estimate, pure
     JVM expressions. Used as the cheap cascade filter before the
     pandas-UDF scorers (the reference's retrieve-then-rerank split,
-    SURVEY.md §4)."""
-    eq = F.filter(F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")), lambda v: v == 1)
-    return F.size(eq) / F.lit(float(num_perm))
+    SURVEY.md §4).
+
+    Unrolled to ``num_perm`` static element comparisons: higher-order
+    zip_with/filter lambdas run on the interpreted expression path and
+    allocate per row; the unrolled sum stays in whole-stage codegen.
+    """
+    total = None
+    for i in range(1, num_perm + 1):
+        term = (F.element_at(sig_a, i) == F.element_at(sig_b, i)).cast("int")
+        total = term if total is None else total + term
+    return total / F.lit(float(num_perm))
 
 
 def with_blocks(
