@@ -58,23 +58,6 @@ def _flagship_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bio_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BIO span decode (W5) on a deterministic in-line fixture."""
-    from cogie_spark.operators.spans import bio_decode
-
-    rows = []
-    tagseqs = [
-        ["B-PER", "I-PER", "O", "B-LOC", "O"],
-        ["O", "B-ORG", "I-ORG", "I-ORG", "O", "B-PER"],
-        ["I-LOC", "O", "B-LOC", "I-LOC", "B-LOC"],
-    ]
-    for s, tags in enumerate(tagseqs):
-        for p, tag in enumerate(tags):
-            rows.append((0, s, p, f"tok{s}_{p}", tag))
-    df = spark.createDataFrame(rows, "doc_id long, sent_id long, pos long, token string, tag string")
-    return bio_decode(df)
-
-
 def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         from cogie_spark.shipping import ensure_shipped
@@ -88,10 +71,22 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSes
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> feature vectors
     with per-row decode quarantine (decode itself is stubbed —
-    cogie_spark/operators/multimodal.py)."""
+    cogie_spark/operators/multimodal.py). The feature vector is
+    summarized to scalar columns (first bin / sum / width): the driver
+    canonicalizer cannot hash array columns."""
     from cogie_spark.operators.multimodal import extract_features, synthetic_media
 
-    return extract_features(synthetic_media(spark, n=96))
+    feats = extract_features(synthetic_media(spark, n=96))
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("f_sum"),
+        F.coalesce(F.size("feature"), F.lit(-1)).alias("n_feat"),
+        "decode_error",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -100,7 +95,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(QUERIES)
     out["q40_flagship_clusters"] = _flagship_clusters
     out["q41_flagship_pairwise_f1"] = _flagship_eval
-    out["q33_bio_span_decode"] = _bio_spans
     out["q42_multimodal_features"] = _multimodal_features
     return {name: _shipped(fn) for name, fn in out.items()}
 

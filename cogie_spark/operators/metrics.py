@@ -57,6 +57,98 @@ def accuracy(df: DataFrame, target: str, pred: str) -> DataFrame:
     )
 
 
+def fbeta_by_class(df: DataFrame, target: str, pred: str, beta: float = 1.0) -> DataFrame:
+    """Per-class precision/recall/F-beta — reference FBetaMeasure with
+    average=None (/root/reference/cogie/core/metrics.py:1075-1236):
+    tp = #(gold==pred==c), pred_n = #(pred==c), true_n = #(gold==c);
+    precision = tp/pred_n, recall = tp/true_n with 0-on-zero-denominator
+    (_prf_divide, metrics.py:1228-1236); fscore = (1+β²)PR/(β²P+R) and
+    fscore = 0 where tp == 0 (metrics.py:1184-1186).
+
+    Two partial-aggregated groupBys + one join on the (small) class
+    domain — never a shuffle of the fact rows beyond the counts.
+    """
+    beta2 = float(beta) * float(beta)
+    preds = df.groupBy(F.col(pred).alias("label")).agg(
+        F.sum(F.when(F.col(target) == F.col(pred), 1).otherwise(0)).alias("tp"),
+        F.count("*").alias("pred_n"),
+    )
+    golds = df.groupBy(F.col(target).alias("label")).agg(F.count("*").alias("true_n"))
+    j = preds.join(golds, "label", "full_outer").select(
+        "label",
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+        F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+        F.coalesce("true_n", F.lit(0)).alias("true_n"),
+    )
+    p = F.coalesce(F.try_divide(F.col("tp"), F.col("pred_n")), F.lit(0.0))
+    r = F.coalesce(F.try_divide(F.col("tp"), F.col("true_n")), F.lit(0.0))
+    fb = F.when(F.col("tp") == 0, F.lit(0.0)).otherwise(
+        (1.0 + beta2) * p * r / (beta2 * p + r)
+    )
+    return j.select(
+        "label", "tp", "pred_n", "true_n",
+        p.alias("precision"), r.alias("recall"), fb.alias("fbeta"),
+    )
+
+
+def fbeta_summary(per_class: DataFrame, beta: float = 1.0, average: str = "micro") -> DataFrame:
+    """Collapse fbeta_by_class output to one row — the reference's
+    average='micro'|'macro'|'weighted' modes (metrics.py:1178-1201)."""
+    beta2 = float(beta) * float(beta)
+    if average == "micro":
+        agg = per_class.agg(
+            F.sum("tp").alias("tp"), F.sum("pred_n").alias("pred_n"), F.sum("true_n").alias("true_n")
+        )
+        p = F.coalesce(F.try_divide(F.col("tp"), F.col("pred_n")), F.lit(0.0))
+        r = F.coalesce(F.try_divide(F.col("tp"), F.col("true_n")), F.lit(0.0))
+        fb = F.when(F.col("tp") == 0, F.lit(0.0)).otherwise(
+            (1.0 + beta2) * p * r / (beta2 * p + r)
+        )
+        return agg.select(p.alias("precision"), r.alias("recall"), fb.alias("fbeta"))
+    if average == "macro":
+        return per_class.agg(
+            F.avg("precision").alias("precision"),
+            F.avg("recall").alias("recall"),
+            F.avg("fbeta").alias("fbeta"),
+        )
+    if average == "weighted":
+        w = F.col("true_n").cast("double")
+        return per_class.agg(
+            F.coalesce(F.try_divide(F.sum(w * F.col("precision")), F.sum(w)), F.lit(0.0)).alias("precision"),
+            F.coalesce(F.try_divide(F.sum(w * F.col("recall")), F.sum(w)), F.lit(0.0)).alias("recall"),
+            F.coalesce(F.try_divide(F.sum(w * F.col("fbeta")), F.sum(w)), F.lit(0.0)).alias("fbeta"),
+        )
+    raise ValueError(f"unknown average: {average!r}")
+
+
+def tuple_prf(pred: DataFrame, gold: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """Micro P/R/F1 over exact tuple matches — the reference's
+    SPO/CASEE/Event tuple metrics (SPOMetric
+    /root/reference/cogie/core/metrics.py:1327-1537, EventMetric
+    :960-1073): pred_num / gold_num / right_num counters with
+    p = right/pred, r = right/gold, f1 = 2pr/(p+r), 0 on empty.
+
+    Set semantics per tuple key (the reference compares set-valued
+    extraction outputs): both sides are distinct'd, then one full-outer
+    join + one aggregation.
+    """
+    p = pred.select(*keys).distinct().withColumn("_p", F.lit(1))
+    g = gold.select(*keys).distinct().withColumn("_g", F.lit(1))
+    j = p.join(g, list(keys), "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("_p").isNotNull(), 1).otherwise(0)).alias("pred_num"),
+        F.sum(F.when(F.col("_g").isNotNull(), 1).otherwise(0)).alias("gold_num"),
+        F.sum(F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1).otherwise(0)).alias("right_num"),
+    )
+    pr = F.coalesce(F.try_divide(F.col("right_num"), F.col("pred_num")), F.lit(0.0))
+    rc = F.coalesce(F.try_divide(F.col("right_num"), F.col("gold_num")), F.lit(0.0))
+    f1 = F.when(F.col("right_num") == 0, F.lit(0.0)).otherwise(2.0 * pr * rc / (pr + rc))
+    return agg.select(
+        "pred_num", "gold_num", "right_num",
+        pr.alias("precision"), rc.alias("recall"), f1.alias("f1"),
+    )
+
+
 def grouped_accuracy_macro(df: DataFrame, group: str, target: str, pred: str) -> DataFrame:
     """Per-group accuracy then unweighted macro mean — reference
     per-world accuracy (/root/reference/cogie/toolkit/el/el_toolkit.py:574-621)."""

@@ -326,7 +326,7 @@ def q03(spark, sf_dir):
 @q(
     "q09_sessionize",
     """
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+    SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events FROM (
       SELECT user_id,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
@@ -938,9 +938,9 @@ def q37(spark, sf_dir):
     gold AS (SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
     j AS (SELECT coalesce(p.k, g.k) AS k, p.k IS NOT NULL AS in_p, g.k IS NOT NULL AS in_g
           FROM pred p FULL OUTER JOIN gold g ON p.k = g.k)
-    SELECT sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END) AS tp,
-           sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END) AS fp,
-           sum(CASE WHEN NOT in_p AND in_g THEN 1 ELSE 0 END) AS fn,
+    SELECT sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN in_p AND NOT in_g THEN 1 ELSE 0 END)::BIGINT AS fp,
+           sum(CASE WHEN NOT in_p AND in_g THEN 1 ELSE 0 END)::BIGINT AS fn,
            round(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END)::DOUBLE
                  / greatest(sum(CASE WHEN in_p THEN 1 ELSE 0 END), 1), 6) AS precision,
            round(sum(CASE WHEN in_p AND in_g THEN 1 ELSE 0 END)::DOUBLE
@@ -970,15 +970,252 @@ def q38(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Tag-scheme span decode (W5: BIO/BMES/BIOES/BMESO) — oracle-checked on
+# deterministic inline fixtures via DuckDB VALUES CTEs
+# =====================================================================
+
+# fixture tag sequences per scheme: exercise leading continuations,
+# label switches inside continuations, O gaps, and S/E edge cases
+_TAG_FIXTURES: dict[str, list[list[str]]] = {
+    "bio": [
+        ["B-PER", "I-PER", "O", "B-LOC", "O"],
+        ["O", "B-ORG", "I-ORG", "I-ORG", "O", "B-PER"],
+        ["I-LOC", "O", "B-LOC", "I-LOC", "B-LOC"],
+    ],
+    "bmes": [
+        ["B-PER", "M-PER", "E-PER", "S-LOC", "B-ORG", "E-ORG"],
+        ["M-PER", "E-PER", "S-PER", "B-LOC", "M-LOC", "M-ORG", "E-ORG"],
+        ["S-PER", "S-PER", "E-LOC", "B-PER", "B-PER"],
+    ],
+    "bioes": [
+        ["B-PER", "I-PER", "E-PER", "O", "S-LOC"],
+        ["O", "I-ORG", "E-ORG", "O", "E-PER", "S-LOC"],
+        ["B-LOC", "E-LOC", "I-LOC", "O", "B-PER", "I-PER", "I-LOC"],
+    ],
+    "bmeso": [
+        ["O", "B-PER", "M-PER", "E-PER", "O", "S-LOC"],
+        ["M-ORG", "O", "E-ORG", "S-ORG", "B-PER", "M-LOC"],
+        ["B-PER", "E-PER", "M-PER", "S-LOC", "O", "O"],
+    ],
+}
+
+
+def _tag_fixture_rows(scheme: str) -> list[tuple[int, int, int, str, str]]:
+    rows = []
+    for s, tags in enumerate(_TAG_FIXTURES[scheme]):
+        for p, tag in enumerate(tags):
+            rows.append((0, s, p, f"t{s}_{p}", tag))
+    return rows
+
+
+def _tag_decode_query(scheme: str):
+    def fn(spark, sf_dir):
+        from cogie_spark.operators.spans import tag_spans_decode
+
+        df = spark.createDataFrame(
+            _tag_fixture_rows(scheme),
+            "doc_id long, sent_id long, pos long, token string, tag string",
+        )
+        return tag_spans_decode(df, scheme=scheme)
+
+    fn.__doc__ = (
+        f"W5 {scheme.upper()} span decode via sessionization "
+        "(reference /root/reference/cogie/core/metrics.py:419-505)."
+    )
+    return fn
+
+
+def _tag_decode_sql(scheme: str) -> str:
+    """DuckDB twin of tag_spans_decode: lag -> new-span flag -> running
+    sum segment id -> grouped span extents (same state machine)."""
+    from cogie_spark.operators.spans import SCHEMES
+
+    spec = SCHEMES[scheme]
+    values = ", ".join(
+        f"({d}, {s}, {p}, '{tok}', '{tag}')" for d, s, p, tok, tag in _tag_fixture_rows(scheme)
+    )
+    cont = ", ".join(f"'{x}'" for x in spec["cont"])
+    prev = ", ".join(f"'{x}'" for x in spec["prev"])
+    if spec["o"]:
+        o_list = ", ".join(f"'{x}'" for x in spec["o"])
+        o_case = f"WHEN pfx IN ({o_list}) THEN 0"
+        o_filter = f"WHERE pfx NOT IN ({o_list})"
+    else:
+        o_case, o_filter = "", ""
+    return f"""
+    WITH toks(doc_id, sent_id, pos, token, tag) AS (VALUES {values}),
+    t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sent_id AS BIGINT) AS sent_id,
+                 CAST(pos AS BIGINT) AS pos, token,
+                 lower(substring(tag, 1, 1)) AS pfx, substring(tag, 3) AS lbl,
+                 lag(lower(substring(tag, 1, 1))) OVER w AS ppfx,
+                 lag(substring(tag, 3)) OVER w AS plbl
+          FROM toks WINDOW w AS (PARTITION BY doc_id, sent_id ORDER BY pos)),
+    f AS (SELECT *, CASE {o_case}
+                 WHEN pfx IN ({cont}) AND ppfx IN ({prev}) AND plbl = lbl THEN 0
+                 ELSE 1 END AS new_span FROM t),
+    s AS (SELECT *, sum(new_span) OVER (PARTITION BY doc_id, sent_id ORDER BY pos) AS seg FROM f)
+    SELECT doc_id, sent_id, lbl AS label, min(pos) AS start, max(pos) + 1 AS "end",
+           string_agg(token, ' ' ORDER BY pos) AS text
+    FROM s {o_filter} GROUP BY doc_id, sent_id, seg, lbl
+    """
+
+
+for _scheme, _qname in (
+    ("bio", "q33_bio_span_decode"),
+    ("bmes", "q44_bmes_span_decode"),
+    ("bioes", "q45_bioes_span_decode"),
+    ("bmeso", "q46_bmeso_span_decode"),
+):
+    QUERIES[_qname] = _tag_decode_query(_scheme)
+    ORACLES[_qname] = _tag_decode_sql(_scheme)
+
+
+# =====================================================================
+# Per-class F-beta (A13), tuple metrics (A14), ET threshold (F13)
+# =====================================================================
+
+@q(
+    "q43_fbeta_per_class",
+    """
+    WITH d AS (SELECT event_type AS target,
+                      CASE WHEN event_id % 3 = 0 THEN 'click' ELSE event_type END AS pred
+               FROM events),
+    p AS (SELECT pred AS label, sum(CASE WHEN target = pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 count(*) AS pred_n FROM d GROUP BY 1),
+    g AS (SELECT target AS label, count(*) AS true_n FROM d GROUP BY 1),
+    j AS (SELECT coalesce(p.label, g.label) AS label, coalesce(tp, 0)::BIGINT AS tp,
+                 coalesce(pred_n, 0)::BIGINT AS pred_n, coalesce(true_n, 0)::BIGINT AS true_n
+          FROM p FULL OUTER JOIN g ON p.label = g.label),
+    k AS (SELECT label, tp, pred_n, true_n,
+                 CASE WHEN pred_n = 0 THEN 0.0::DOUBLE ELSE tp / pred_n::DOUBLE END AS prec,
+                 CASE WHEN true_n = 0 THEN 0.0::DOUBLE ELSE tp / true_n::DOUBLE END AS rec
+          FROM j)
+    SELECT label, tp, pred_n, true_n,
+           round(prec, 6) AS precision, round(rec, 6) AS recall,
+           round(CASE WHEN tp = 0 THEN 0.0 ELSE 5.0 * prec * rec / (4.0 * prec + rec) END, 6) AS fbeta
+    FROM k
+    """,
+)
+def q43(spark, sf_dir):
+    """A13 per-class F-beta (beta=2) — reference FBetaMeasure
+    (/root/reference/cogie/core/metrics.py:1075-1236) over events with a
+    deterministic derived prediction."""
+    from cogie_spark.operators.metrics import fbeta_by_class
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("event_type").alias("target"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("click")).otherwise(F.col("event_type")).alias("pred"),
+    )
+    per = fbeta_by_class(d, "target", "pred", beta=2.0)
+    return per.select(
+        "label", "tp", "pred_n", "true_n",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("fbeta", 6).alias("fbeta"),
+    )
+
+
+_SPO_PRED = [
+    (0, "alice", "works_at", "acme"),
+    (0, "alice", "works_at", "acme"),  # duplicate: set semantics
+    (0, "bob", "knows", "alice"),
+    (1, "carol", "born_in", "paris"),
+    (1, "carol", "born_in", "london"),
+    (2, "dave", "ceo_of", "initech"),
+]
+_SPO_GOLD = [
+    (0, "alice", "works_at", "acme"),
+    (0, "bob", "knows", "carol"),
+    (1, "carol", "born_in", "paris"),
+    (1, "erin", "lives_in", "oslo"),
+    (3, "frank", "knows", "grace"),
+]
+
+
+def _spo_values(rows) -> str:
+    return ", ".join(f"({d}, '{s}', '{p}', '{o}')" for d, s, p, o in rows)
+
+
+@q(
+    "q47_spo_f1",
+    f"""
+    WITH pred(doc_id, s, p, o) AS (VALUES {_spo_values(_SPO_PRED)}),
+    gold(doc_id, s, p, o) AS (VALUES {_spo_values(_SPO_GOLD)}),
+    pd AS (SELECT DISTINCT doc_id, s, p, o, 1 AS _p FROM pred),
+    gd AS (SELECT DISTINCT doc_id, s, p, o, 1 AS _g FROM gold),
+    j AS (SELECT _p, _g FROM pd FULL OUTER JOIN gd USING (doc_id, s, p, o)),
+    c AS (SELECT sum(CASE WHEN _p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS pred_num,
+                 sum(CASE WHEN _g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS gold_num,
+                 sum(CASE WHEN _p IS NOT NULL AND _g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS right_num
+          FROM j),
+    k AS (SELECT *, CASE WHEN pred_num = 0 THEN 0.0::DOUBLE ELSE right_num / pred_num::DOUBLE END AS prec,
+                 CASE WHEN gold_num = 0 THEN 0.0::DOUBLE ELSE right_num / gold_num::DOUBLE END AS rec
+          FROM c)
+    SELECT pred_num, gold_num, right_num, round(prec, 6) AS precision, round(rec, 6) AS recall,
+           round(CASE WHEN right_num = 0 THEN 0.0 ELSE 2.0 * prec * rec / (prec + rec) END, 6) AS f1
+    FROM k
+    """,
+)
+def q47(spark, sf_dir):
+    """A14 SPO tuple micro-F1 — reference SPOMetric
+    (/root/reference/cogie/core/metrics.py:1327-1537) on a deterministic
+    inline fixture with duplicate tuples (set semantics)."""
+    from cogie_spark.operators.metrics import tuple_prf
+
+    schema = "doc_id long, s string, p string, o string"
+    pred = spark.createDataFrame(_SPO_PRED, schema)
+    gold = spark.createDataFrame(_SPO_GOLD, schema)
+    out = tuple_prf(pred, gold, ("doc_id", "s", "p", "o"))
+    return out.select(
+        "pred_num", "gold_num", "right_num",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+@q(
+    "q48_et_threshold",
+    """
+    WITH probs AS (SELECT user_id, event_type, max((event_id % 100) / 100.0) AS prob
+                   FROM events GROUP BY 1, 2),
+    kept AS (SELECT user_id, event_type FROM probs WHERE prob >= 0.5)
+    SELECT u.user_id,
+           coalesce(string_agg(k.event_type, ',' ORDER BY k.event_type), '') AS types,
+           count(k.event_type) AS n_types
+    FROM (SELECT DISTINCT user_id FROM probs) u LEFT JOIN kept k USING (user_id)
+    GROUP BY u.user_id
+    """,
+)
+def q48(spark, sf_dir):
+    """F13 multi-label sigmoid threshold -> type list — reference
+    et_toolkit.py:120-126 over a deterministic prob column. The type
+    array is comma-joined (driver canonicalizer cannot hash arrays)."""
+    from cogie_spark.operators.typing import threshold_labels
+
+    ev = _t(spark, sf_dir, "events")
+    probs = ev.groupBy("user_id", "event_type").agg(
+        F.max((F.col("event_id") % 100) / 100.0).alias("prob")
+    )
+    out = threshold_labels(probs, ["user_id"], label_col="event_type", prob_col="prob", threshold=0.5)
+    return out.select("user_id", F.concat_ws(",", "types").alias("types"), "n_types")
+
+
 @q(
     "q39_sorted_tokens",
     f"""
-    SELECT doc_id, list_sort(list_distinct({_toks('text')})) AS sorted_tokens
+    SELECT doc_id, array_to_string(list_sort(list_distinct({_toks('text')})), ' ') AS sorted_tokens
     FROM documents WHERE doc_id < 30
     """,
 )
 def q39(spark, sf_dir):
     """W4 sort + U2 distinct inside arrays (ner_toolkit.py:95,168 span
-    sort; rc/trex.py:64 array sorts)."""
+    sort; rc/trex.py:64 array sorts). Output is the space-joined string:
+    the driver canonicalizer cannot hash array columns."""
     d = _t(spark, sf_dir, "documents").filter("doc_id < 30")
-    return d.select("doc_id", F.array_sort(F.array_distinct(tokens("text"))).alias("sorted_tokens"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " ").alias("sorted_tokens"),
+    )
