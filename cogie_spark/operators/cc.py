@@ -86,16 +86,18 @@ def connected_components(
         F.least("left_id", "right_id").alias("dst"),
         F.greatest("left_id", "right_id").alias("src"),
     ).distinct()
-    # materialize the seed edge set: each round references it several
-    # times (union'd neighbor views + min-join), and the upstream plan
-    # (blocking + pandas-UDF scoring) must never be re-executed
-    cur = cur.localCheckpoint(eager=True)
 
     start_iter = 0
-    if checkpoint is not None:
-        resumed = checkpoint.latest("cc_edges")
-        if resumed is not None:
-            cur, start_iter = resumed
+    resumed = checkpoint.latest("cc_edges") if checkpoint is not None else None
+    if resumed is not None:
+        cur, start_iter = resumed
+    else:
+        # materialize the seed edge set: each round references it several
+        # times (union'd neighbor views + min-join), and the upstream plan
+        # (blocking + pandas-UDF scoring) must never be re-executed. Only
+        # in the non-resumed branch — a resumed job must NOT execute the
+        # expensive upstream it is resuming past.
+        cur = cur.localCheckpoint(eager=True)
 
     prev_fp = None
     for it in range(start_iter, max_iter):

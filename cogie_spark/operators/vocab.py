@@ -41,17 +41,23 @@ def build_vocab(
 def encode_tokens(df: DataFrame, vocab: DataFrame, text_col: str = "text", unk_idx: int = 1) -> DataFrame:
     """Map token arrays to id arrays via broadcast join against the
     vocab dim (the reference's word2idx lookup, vocabulary.py:214-230).
-    explode -> broadcast join -> re-collect ordered by position."""
-    exploded = df.select(
+    explode -> broadcast join -> re-collect ordered by position.
+
+    Rows are keyed by a unique surrogate (monotonically_increasing_id)
+    before the explode: grouping on the input columns would collapse
+    duplicate input rows into one output row with doubled token ids.
+    """
+    keyed = df.withColumn("_row", F.monotonically_increasing_id())
+    exploded = keyed.select(
         F.col("*"), F.posexplode(tokens(text_col)).alias("_pos", "_word")
     )
     joined = exploded.join(
         F.broadcast(vocab.select(F.col("word").alias("_word"), "idx")), "_word", "left"
     ).withColumn("_idx", F.coalesce("idx", F.lit(unk_idx)))
-    keys = [c for c in df.columns]
+    keys = ["_row", *df.columns]
     return (
         joined.groupBy(*keys)
         .agg(F.sort_array(F.collect_list(F.struct("_pos", "_idx"))).alias("_pairs"))
         .withColumn("token_ids", F.transform("_pairs", lambda s: s["_idx"]))
-        .drop("_pairs")
+        .drop("_pairs", "_row")
     )

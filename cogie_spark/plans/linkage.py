@@ -190,6 +190,10 @@ def run_linkage(
 
     edges = match_edges(scored, threshold=cfg.threshold)
     comp = connected_components(edges, max_iter=cfg.cc_max_iter, checkpoint=checkpoint)
+    # connected_components emits (file_id, cluster_id); align its node
+    # column with cfg.id_col so custom id columns join correctly
+    if cfg.id_col != "file_id":
+        comp = comp.withColumnRenamed("file_id", cfg.id_col)
 
     # every representative gets a cluster: singletons map to themselves
     rep_clusters = (

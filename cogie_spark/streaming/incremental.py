@@ -11,13 +11,19 @@ persisted cluster state, then appends to it. No separate streaming
 implementation of the operators exists — that is the point.
 
 State layout (under ``state_dir``, via TableIO):
-- ``members``  : (file_id, cluster_id, lang, content) — all linked rows.
+- ``members``  : (file_id, cluster_id, lang, content, sig) — all linked
+  rows WITH their MinHash signatures: each micro-batch signatures only
+  its own rows and banding of the existing state reuses the persisted
+  sig column, so per-batch cost is O(batch + matched), not O(state).
 State updates are atomic per batch (write-new + manifest publish is
 handled by the plain parquet overwrite of a per-batch delta dir plus
 union-on-read).
 """
 
 from __future__ import annotations
+
+import glob
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,21 +54,23 @@ def incremental_link_batch(
     spark = batch.sparkSession
     # state is append-only per-batch delta dirs — no rewrite of data we
     # are concurrently reading, and O(batch) write cost regardless of
-    # accumulated state size
-    try:
-        members = spark.read.parquet(f"{state.base}/members_delta_*")
-        have_state = True
-    except Exception:
-        have_state = False
+    # accumulated state size. The no-state case is detected EXPLICITLY
+    # by listing delta dirs (local-FS glob here; a FileSystem listing on
+    # a real cluster): a genuine read error on existing state must
+    # propagate, not silently relink from scratch.
+    have_state = bool(glob.glob(os.path.join(state.base, "members_delta_*")))
 
     batch = batch.persist()
-    new_sigs = signature_table(batch, key_cols=("lang",), num_perm=num_perm, mode="fast")
+    new_sigs = signature_table(batch, key_cols=("lang",), num_perm=num_perm, mode="fast").persist()
 
     if have_state:
+        members = spark.read.parquet(f"{state.base}/members_delta_*")
         # block new rows against existing members (one band join), plus
-        # within-batch self-join for brand-new duplicate groups
+        # within-batch self-join for brand-new duplicate groups.
+        # Signatures of existing members come from the persisted sig
+        # column — never recomputed from content (O(state) per batch).
         old = members.persist()
-        old_sigs = signature_table(old, key_cols=("lang",), num_perm=num_perm, mode="fast")
+        old_sigs = old.select("file_id", "lang", "sig")
         nb = bands_from_signatures(new_sigs, key_cols=("lang",), bands=bands, rows_per_band=num_perm // bands)
         ob = bands_from_signatures(old_sigs, key_cols=("lang",), bands=bands, rows_per_band=num_perm // bands)
         cand = (
@@ -102,7 +110,11 @@ def incremental_link_batch(
     assignments = links.unionByName(intra)
     out = batch.select("file_id", "lang", "content").join(assignments, "file_id")
 
-    new_members = out.select("file_id", "cluster_id", "lang", "content")
+    # persist this batch's signatures alongside the rows: future batches
+    # band the state without touching content
+    new_members = out.select("file_id", "cluster_id", "lang", "content").join(
+        new_sigs.select("file_id", "sig"), "file_id"
+    )
     state.write(f"members_delta_{batch_id:05d}", new_members)
     return assignments
 

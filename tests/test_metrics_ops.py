@@ -1,0 +1,196 @@
+"""Round-2 operators: F-beta family, tuple metrics, tag-scheme decode,
+ET thresholding, T-REx loader — parity-tested against hand-computed
+reference-formula values and a pure-Python reimplementation of the
+reference decoders (/root/reference/cogie/core/metrics.py:419-505).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cogie_spark.operators.metrics import fbeta_by_class, fbeta_summary, tuple_prf
+from cogie_spark.operators.spans import SCHEMES, tag_spans_decode
+from cogie_spark.operators.typing import threshold_labels
+
+
+def test_fbeta_by_class_hand_values(spark):
+    # gold:  a a a b b c
+    # pred:  a a b b c c
+    # per class (reference FBetaMeasure counters):
+    #   a: tp=2 pred_n=2 true_n=3 -> P=1.0   R=2/3  F1=0.8
+    #   b: tp=1 pred_n=2 true_n=2 -> P=0.5   R=0.5  F1=0.5
+    #   c: tp=1 pred_n=2 true_n=1 -> P=0.5   R=1.0  F1=2/3
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"), ("c", "c")]
+    df = spark.createDataFrame(rows, "target string, pred string")
+    got = {r["label"]: r for r in fbeta_by_class(df, "target", "pred", beta=1.0).collect()}
+    assert got["a"]["tp"] == 2 and got["a"]["pred_n"] == 2 and got["a"]["true_n"] == 3
+    assert abs(got["a"]["precision"] - 1.0) < 1e-12
+    assert abs(got["a"]["recall"] - 2 / 3) < 1e-12
+    assert abs(got["a"]["fbeta"] - 0.8) < 1e-12
+    assert abs(got["b"]["fbeta"] - 0.5) < 1e-12
+    assert abs(got["c"]["recall"] - 1.0) < 1e-12
+    assert abs(got["c"]["fbeta"] - 2 / 3) < 1e-12
+
+    # beta=2 weights recall: F2(a) = 5*P*R/(4P+R) = 5*(2/3)/(4+2/3) = 10/14
+    got2 = {r["label"]: r for r in fbeta_by_class(df, "target", "pred", beta=2.0).collect()}
+    assert abs(got2["a"]["fbeta"] - 10 / 14) < 1e-12
+
+
+def test_fbeta_zero_denominator_and_missing_class(spark):
+    # class 'z' never predicted (pred_n=0 -> P=0, reference _prf_divide);
+    # class 'y' predicted but never gold (true_n=0 -> R=0); tp=0 -> F=0
+    rows = [("z", "y"), ("z", "y")]
+    df = spark.createDataFrame(rows, "target string, pred string")
+    got = {r["label"]: r for r in fbeta_by_class(df, "target", "pred").collect()}
+    assert got["z"]["pred_n"] == 0 and got["z"]["precision"] == 0.0 and got["z"]["fbeta"] == 0.0
+    assert got["y"]["true_n"] == 0 and got["y"]["recall"] == 0.0 and got["y"]["fbeta"] == 0.0
+
+
+def test_fbeta_summary_modes(spark):
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"), ("c", "c")]
+    df = spark.createDataFrame(rows, "target string, pred string")
+    per = fbeta_by_class(df, "target", "pred", beta=1.0)
+    micro = fbeta_summary(per, average="micro").collect()[0]
+    # micro: tp=4, pred_n=6, true_n=6 -> P=R=F=2/3
+    assert abs(micro["precision"] - 4 / 6) < 1e-12
+    assert abs(micro["fbeta"] - 4 / 6) < 1e-12
+    macro = fbeta_summary(per, average="macro").collect()[0]
+    assert abs(macro["precision"] - (1.0 + 0.5 + 0.5) / 3) < 1e-12
+    weighted = fbeta_summary(per, average="weighted").collect()[0]
+    # weights = true_n: (3*1 + 2*0.5 + 1*0.5)/6
+    assert abs(weighted["precision"] - (3 * 1.0 + 2 * 0.5 + 1 * 0.5) / 6) < 1e-12
+
+
+def test_tuple_prf_set_semantics(spark):
+    schema = "doc_id long, s string, p string, o string"
+    pred = spark.createDataFrame(
+        [(0, "a", "r", "b"), (0, "a", "r", "b"), (0, "x", "r", "y")], schema
+    )
+    gold = spark.createDataFrame([(0, "a", "r", "b"), (1, "m", "r", "n")], schema)
+    row = tuple_prf(pred, gold, ("doc_id", "s", "p", "o")).collect()[0]
+    # distinct pred = 2, gold = 2, right = 1 -> P=R=F1=0.5
+    assert row["pred_num"] == 2 and row["gold_num"] == 2 and row["right_num"] == 1
+    assert abs(row["precision"] - 0.5) < 1e-12 and abs(row["f1"] - 0.5) < 1e-12
+
+
+def test_tuple_prf_empty_pred(spark):
+    schema = "doc_id long, s string, p string, o string"
+    pred = spark.createDataFrame([], schema)
+    gold = spark.createDataFrame([(0, "a", "r", "b")], schema)
+    row = tuple_prf(pred, gold, ("doc_id", "s", "p", "o")).collect()[0]
+    assert row["pred_num"] == 0 and row["precision"] == 0.0 and row["f1"] == 0.0
+
+
+def test_threshold_labels_empty_and_sorted(spark):
+    rows = [
+        (1, "person", 0.9),
+        (1, "artist", 0.55),
+        (1, "place", 0.1),
+        (2, "thing", 0.2),  # nothing clears threshold -> empty list
+    ]
+    df = spark.createDataFrame(rows, "mention_id long, type_label string, prob double")
+    got = {r["mention_id"]: r for r in threshold_labels(df, ["mention_id"]).collect()}
+    assert got[1]["types"] == ["artist", "person"] and got[1]["n_types"] == 2
+    assert got[2]["types"] == [] and got[2]["n_types"] == 0
+
+
+# ---- tag-scheme decode parity vs the reference state machines ----
+
+def _ref_decode(tags: list[str], scheme: str) -> list[tuple[str, int, int]]:
+    """Pure-Python reimplementation of the reference decoders
+    (_bio/_bioes/_bmes/_bmeso_tag_to_spans, metrics.py:419-505)."""
+    spec = SCHEMES[scheme]
+    spans: list[list] = []
+    prev = None
+    for idx, tag in enumerate(tags):
+        pfx, label = tag[:1].lower(), tag[2:]
+        if spec["o"] and pfx in spec["o"]:
+            prev = pfx
+            continue
+        if (
+            pfx in spec["cont"]
+            and prev in spec["prev"]
+            and spans
+            and label == spans[-1][0]
+        ):
+            spans[-1][2] = idx
+        else:
+            spans.append([label, idx, idx])
+        prev = pfx
+    return [(s[0], s[1], s[2] + 1) for s in spans]
+
+
+def test_tag_decode_all_schemes_match_reference(spark):
+    from cogie_spark.queries import _TAG_FIXTURES
+
+    for scheme, sents in _TAG_FIXTURES.items():
+        rows = []
+        expected = set()
+        for s, tags in enumerate(sents):
+            for p, tag in enumerate(tags):
+                rows.append((0, s, p, f"t{s}_{p}", tag))
+            for label, start, end in _ref_decode(tags, scheme):
+                text = " ".join(f"t{s}_{p}" for p in range(start, end))
+                expected.add((0, s, label, start, end, text))
+        df = spark.createDataFrame(
+            rows, "doc_id long, sent_id long, pos long, token string, tag string"
+        )
+        got = {
+            (r["doc_id"], r["sent_id"], r["label"], r["start"], r["end"], r["text"])
+            for r in tag_spans_decode(df, scheme=scheme).collect()
+        }
+        assert got == expected, f"{scheme}: {got ^ expected}"
+
+
+def test_trex_loader_boundaries(spark):
+    import json
+    import tempfile
+
+    # "Alpha Beta. Gamma." — two sentences, entity over 'Alpha Beta' and 'Gamma'
+    text = "Alpha Beta. Gamma."
+    doc = {
+        "text": text,
+        "sentences_boundaries": [[0, 11], [12, 18]],
+        "words_boundaries": [[0, 5], [6, 10], [10, 11], [12, 17], [17, 18]],
+        "entities": [
+            {"boundaries": [0, 10], "uri": "Q1"},   # Alpha Beta -> words 0,1 of sent 0
+            {"boundaries": [12, 17], "uri": "Q2"},  # Gamma -> word 0 of sent 1
+        ],
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        f.write(json.dumps(doc) + "\n")
+        path = f.name
+    from cogie_spark.sources.trex import read_trex_json, trex_entity_indices, trex_tokens
+
+    docs = read_trex_json(spark, path)
+    toks = {
+        (r["sent_id"], r["pos"]): r["token"] for r in trex_tokens(docs).collect()
+    }
+    assert toks[(0, 0)] == "Alpha" and toks[(0, 1)] == "Beta" and toks[(0, 2)] == "."
+    assert toks[(1, 0)] == "Gamma" and toks[(1, 1)] == "."
+    ents = {
+        (r["uri"], r["sent_id"], r["pos"]) for r in trex_entity_indices(docs).collect()
+    }
+    assert ents == {("Q1", 0, 0), ("Q1", 0, 1), ("Q2", 1, 0)}
+
+
+def test_encode_tokens_duplicate_rows(spark):
+    from cogie_spark.operators.vocab import build_vocab, encode_tokens
+
+    df = spark.createDataFrame([("a b",), ("a b",)], "text string")
+    vocab = build_vocab(df, "text", min_freq=1)
+    out = encode_tokens(df, vocab).collect()
+    assert len(out) == 2
+    for r in out:
+        assert len(r["token_ids"]) == 2, "duplicate rows must not double token ids"
+
+
+def test_linkage_custom_id_col(spark):
+    from cogie_spark.fixtures.codefiles import code_files
+    from cogie_spark.plans.linkage import LinkageConfig, run_linkage
+
+    files = code_files(spark, n_groups=6, seed=42).withColumnRenamed("file_id", "rec_id")
+    out = run_linkage(files, LinkageConfig(id_col="rec_id"))
+    clusters = out["clusters"]
+    assert clusters.count() == files.count()
+    assert set(clusters.columns) == {"file_id", "cluster_id"}

@@ -27,8 +27,28 @@ def test_incremental_two_batches(spark):
     a1 = incremental_link_batch(b1, state, batch_id=0)
     assert a1.count() == b1.count()
 
-    a2 = incremental_link_batch(b2, state, batch_id=1)
-    assert a2.count() == b2.count()
+    # per-batch cost contract: signature_table must only ever see the
+    # incoming batch (and its unassigned remainder), NEVER the
+    # accumulated state — state rows carry persisted sigs
+    import cogie_spark.streaming.incremental as inc_mod
+
+    sig_input_sizes: list[int] = []
+    orig_sig = inc_mod.signature_table
+
+    def counting_sig(df, **kw):
+        sig_input_sizes.append(df.count())
+        return orig_sig(df, **kw)
+
+    inc_mod.signature_table = counting_sig
+    try:
+        a2 = incremental_link_batch(b2, state, batch_id=1)
+        assert a2.count() == b2.count()
+    finally:
+        inc_mod.signature_table = orig_sig
+    n_b2 = b2.count()
+    assert sig_input_sizes and all(n <= n_b2 for n in sig_input_sizes), (
+        f"signature_table saw more rows than the batch: {sig_input_sizes} vs {n_b2}"
+    )
 
     # every batch-2 row must land in the cluster of its group's base row
     members = spark.read.parquet(f"{state.base}/members_delta_*")
@@ -58,4 +78,4 @@ def test_stream_wiring_availablenow(spark):
     q.awaitTermination(300)
     members = spark.read.parquet(f"{state_dir}/members_delta_*")
     assert members.count() == files.count()
-    assert set(members.columns) == {"file_id", "cluster_id", "lang", "content"}
+    assert set(members.columns) == {"file_id", "cluster_id", "lang", "content", "sig"}
