@@ -2,21 +2,30 @@
 
 Brute-force cosine top-k is the exact baseline (the reference's exact
 DenseFlatIndexer, /root/reference/cogie/models/el/blink.py:73-93); the
-scale path is LSH sign-bucketing / IVF coarse quantization (the role of
-HNSW at blink.py:97-167).
+scale path is random-hyperplane LSH sign-bucketing (the role of HNSW at
+blink.py:97-167).
 
 The probe side is expected to be small (a query batch) — it is
 broadcast; the corpus side streams. Top-k per probe is a window
 row_number, the Spark restatement of scores.topk
 (/root/reference/cogie/toolkit/el/el_toolkit.py:528).
+
+Plane-weight discipline (the 100 TB detail): hyperplane weights depend
+only on (projection, dimension), so they are computed ONCE at
+plan-build time on the driver (same md5 family as base_hash28 —
+deterministic, no stored model) and folded into the expression tree as
+±element_at terms. The earlier form recomputed an md5 per row × per
+dim × per projection inside an interpreted aggregate() — identical
+output, orders of magnitude more work.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from cogie_spark.functions.hashing import base_hash28
 from cogie_spark.functions.similarity import cosine_native
 
 
@@ -54,48 +63,92 @@ def brute_force_topk(
     )
 
 
-def _proj_hash(vec: F.Column, proj_id: int, dim_step: int = 1) -> F.Column:
-    """Deterministic pseudo-random projection sign bit, no stored model:
-    weight for (proj, dim) = portable hash of 'proj:dim' mapped to ±1;
-    sign(sum_d w_pd * v_d) computed with aggregate over the vector.
+def plane_weights(proj_id: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane weights, no stored model: weight for
+    (proj, dim i) = md5-derived parity of 'p{proj}:{i}' — the exact
+    value base_hash28 % 2 would produce per row, computed once here.
     """
-    def step(acc, x):
-        return F.struct(
-            (acc["i"] + 1).alias("i"),
-            (
-                acc["s"]
-                + x
-                * (
-                    (
-                        base_hash28(F.concat(F.lit(f"p{proj_id}:"), acc["i"].cast("string")))
-                        % F.lit(2)
-                    ).cast("double")
-                    * 2
-                    - 1
-                )
-            ).alias("s"),
-        )
+    return [
+        int(hashlib.md5(f"p{proj_id}:{i}".encode()).hexdigest()[:7], 16) % 2 * 2 - 1
+        for i in range(dim)
+    ]
 
-    init = F.struct(F.lit(0).cast("int").alias("i"), F.lit(0.0).alias("s"))
-    return (F.aggregate(vec, init, step)["s"] > 0).cast("int")
+
+def _plane_sign(vec: Column, weights: list[int]) -> Column:
+    """sign(sum_d w_d * v_d) as a codegen'd ±element_at sum (w_d = ±1,
+    so x*w folds to x or -x — bit-identical to the multiply form)."""
+    total = None
+    for i, w in enumerate(weights):
+        term = F.element_at(vec, i + 1)
+        if w < 0:
+            term = -term
+        total = term if total is None else total + term
+    return (total > 0).cast("int")
+
+
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Vector width from one row — a bounded plan-build-time probe."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer vector dim from column {vec_col!r}")
+    return int(row["d"])
 
 
 def lsh_buckets(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", n_bits: int = 8
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign-bit code).
 
     Projections are derived from the portable hash family — no model
-    state to ship; any executor recomputes the same planes. Output:
-    (vec_id, bucket).
+    state to ship; any driver rebuilds the same planes. Output:
+    (vec_id, bucket, embedding).
     """
+    dim = dim or infer_dim(df, vec_col)
     v = F.col("_v")
     bucket = F.lit(0).cast("long")
     for b in range(n_bits):
-        bucket = bucket * 2 + _proj_hash(v, b)
+        bucket = bucket * 2 + _plane_sign(v, plane_weights(b, dim))
     return df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).select("vec_id", bucket.alias("bucket"), F.col("_v").alias("embedding"))
+
+
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded hyperplane LSH: bands * rows_per_band sign bits, one row
+    per (vector, band). Two vectors collide on a band iff all
+    rows_per_band sign bits agree — P(collide) = (1 - θ/π)^r per band,
+    so band count tunes recall exactly like MinHash banding
+    (operators/blocking.py). Self-join on (band_id, band_hash) for
+    candidate pairs.
+    """
+    dim = dim or infer_dim(df, vec_col)
+    v = F.col("_v")
+    band_structs = []
+    for b in range(bands):
+        code = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            code = code * 2 + _plane_sign(v, plane_weights(b * rows_per_band + r, dim))
+        band_structs.append(F.struct(F.lit(b).alias("band_id"), code.alias("band_hash")))
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("_band")
+    ).select(
+        "vec_id",
+        F.col("_band.band_id").alias("band_id"),
+        F.col("_band.band_hash").alias("band_hash"),
+    )
 
 
 def bucketed_topk(
@@ -110,8 +163,9 @@ def bucketed_topk(
     """Approximate top-k: probes only score corpus vectors in the same
     LSH bucket — the sub-linear scale path (candidate recall traded for
     a |corpus|/2^n_bits expected fan-in per probe)."""
-    cb = lsh_buckets(corpus, id_col=id_col, vec_col=vec_col, n_bits=n_bits)
-    pb = lsh_buckets(probes, id_col=probe_id_col, vec_col=vec_col, n_bits=n_bits).select(
+    dim = infer_dim(corpus, vec_col)
+    cb = lsh_buckets(corpus, id_col=id_col, vec_col=vec_col, n_bits=n_bits, dim=dim)
+    pb = lsh_buckets(probes, id_col=probe_id_col, vec_col=vec_col, n_bits=n_bits, dim=dim).select(
         F.col("vec_id").alias("probe_id"), "bucket", F.col("embedding").alias("_pv")
     )
     scored = (

@@ -178,19 +178,64 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    scope: DataFrame | None = None,
+    mode: str = "lsh",
+    bands: int = 16,
+    rows_per_band: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Brute-force O(n^2) within scope —
-    correct baseline; the scale path buckets by random-projection sign
-    first (operators/ann.py lsh_buckets) and only joins within buckets."""
+    """Embedding-cosine near-dup pairs.
+
+    mode='lsh' (default, the scale path): banded random-hyperplane LSH
+    (operators/ann.py lsh_band_table) bounds the self-join to same-band
+    collisions, then candidates are verified with exact cosine — the
+    quadratic work shrinks to sum(band-bucket sizes squared). Per-band
+    collision for a pair at angle θ is (1 - θ/π)^rows_per_band; recall
+    is 1-(1-p^r)^b. Defaults (16x4) give 0.9998 at cosine 0.95; callers
+    verifying looser thresholds should widen banding (e.g. 32x2 covers
+    cosine 0.4 with miss probability ~1e-7).
+
+    mode='exact': brute-force O(n²) self-join — the documented verifier
+    / recall oracle for the LSH path, never the 100 TB default.
+    """
     side = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    a, b = side.alias("a"), side.alias("b")
+    if mode == "exact":
+        a, b = side.alias("a"), side.alias("b")
+        cand = a.join(b, F.col("a._id") < F.col("b._id")).select(
+            F.col("a._id").alias("left_id"),
+            F.col("a._v").alias("_lv"),
+            F.col("b._id").alias("right_id"),
+            F.col("b._v").alias("_rv"),
+        )
+    elif mode == "lsh":
+        from cogie_spark.operators.ann import lsh_band_table
+
+        bt = lsh_band_table(
+            side, id_col="_id", vec_col="_v", bands=bands, rows_per_band=rows_per_band
+        )
+        a, b = bt.alias("a"), bt.alias("b")
+        pair_ids = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("left_id"), F.col("b.vec_id").alias("right_id")
+            )
+            .distinct()
+        )
+        cand = pair_ids.join(
+            side.select(F.col("_id").alias("left_id"), F.col("_v").alias("_lv")), "left_id"
+        ).join(
+            side.select(F.col("_id").alias("right_id"), F.col("_v").alias("_rv")), "right_id"
+        )
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
     return (
-        a.join(b, F.col("a._id") < F.col("b._id"))
-        .withColumn("cosine", F.round(cosine_native(F.col("a._v"), F.col("b._v")), 6))
+        cand.withColumn("cosine", F.round(cosine_native(F.col("_lv"), F.col("_rv")), 6))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a._id").alias("left_id"), F.col("b._id").alias("right_id"), "cosine")
+        .select("left_id", "right_id", "cosine")
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from cogie_spark.functions.similarity import (
     jaro_winkler,
     tfidf_cosine_udf,
-    token_set_ratio,
+    token_set_ratio_native,
 )
 from cogie_spark.functions.text import normalize_text, tokens
 
@@ -107,7 +107,9 @@ def score_pairs(
                 F.substring(F.col("_lf"), 1, jw_chars), F.substring(F.col("_rf"), 1, jw_chars)
             ),
         )
-        .withColumn("ts", token_set_ratio(F.col("_lf"), F.col("_rf")))
+        # token_set_ratio is pure JVM expressions (sorted-unique-token
+        # Levenshtein ratio) — one fewer Arrow round-trip per pair
+        .withColumn("ts", token_set_ratio_native(F.col("_lf"), F.col("_rf")))
         .withColumn("tfidf", tf_cos(F.col("_lf"), F.col("_rf")))
         .withColumn(
             "score",

@@ -52,6 +52,11 @@ class LinkageConfig:
     shingle_k: int = 8
     max_block_size: int = 64
     feature_chars: int = 1024
+    # Jaro-Winkler window: the JW match loop is O(jw_chars^2) per pair
+    # in the pandas UDF — 128 chars halves r1's 256 default for ~4x less
+    # scorer work; the fixture F1 and DuckDB q34 parity are unaffected
+    # (q34 scores short titles, not this window)
+    jw_chars: int = 128
     threshold: float = 0.72
     # 'fast' = word-3gram + xxhash64 single-pass signatures (pipeline);
     # 'portable' = char-shingle md5 family (oracle-checkable)
@@ -179,6 +184,7 @@ def run_linkage(
         id_col=cfg.id_col,
         content_col=cfg.content_col,
         feature_chars=cfg.feature_chars,
+        jw_chars=cfg.jw_chars,
         weights=cfg.weights,
         idf=idf,
     )

@@ -778,9 +778,12 @@ def q24(spark, sf_dir):
     """,
 )
 def q25(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute-force baseline)."""
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH
+    + exact-cosine verify (the scale path; the brute-force oracle is the
+    DuckDB SQL). 32 bands x 2 rows keeps the per-pair miss probability
+    at cosine 0.4 below 1e-7, so the output set equals brute force."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.4)
+    return embedding_near_duplicates(emb, threshold=0.4, mode="lsh", bands=32, rows_per_band=2)
 
 
 # =====================================================================

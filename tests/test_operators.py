@@ -169,3 +169,20 @@ def test_feature_functions_match_reference_quota_math(spark):
 
     m = spark.createDataFrame([(2,)], "n int").select(seq_len_mask("n", 4).alias("m")).collect()
     assert m[0]["m"] == [True, True, False, False]
+
+
+def test_embedding_near_dup_lsh_equals_exact_and_no_cartesian(spark):
+    """The banded-LSH near-dup path must (a) reproduce the brute-force
+    output at the verify threshold with wide banding, (b) plan a bucket
+    equi-join, never a cartesian/nested-loop product."""
+    from cogie_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = embedding_near_duplicates(emb, threshold=0.4, mode="exact")
+    lsh = embedding_near_duplicates(emb, threshold=0.4, mode="lsh", bands=32, rows_per_band=2)
+    e = {(r["left_id"], r["right_id"], r["cosine"]) for r in exact.collect()}
+    l = {(r["left_id"], r["right_id"], r["cosine"]) for r in lsh.collect()}
+    assert e == l and e, f"lsh != exact: missing={e - l} extra={l - e}"
+
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

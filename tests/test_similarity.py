@@ -56,3 +56,26 @@ def test_pandas_udfs_run(spark):
     out = df.select(jaro_winkler("a", "b").alias("jw"), token_set_ratio("a", "b").alias("ts")).collect()
     assert out[0]["jw"] == pytest.approx(0.9611111111111111)
     assert out[1]["jw"] < 0.6
+
+
+def test_token_set_ratio_native_matches_python(spark):
+    """Property test: the JVM expression form equals token_set_ratio_py
+    on whitespace-normalized strings (the scorer's input contract)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cogie_spark.functions.similarity import token_set_ratio_native
+
+    rng = random.Random(7)
+    vocab = ["def", "return", "x", "y", "parse", "self", "import", "os", "alpha", "beta"]
+    rows = [("", ""), ("a b c", "c b a"), ("", "a b")]
+    for _ in range(60):
+        a = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+        b = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+        rows.append((a, b))
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select("a", "b", token_set_ratio_native("a", "b").alias("ts")).collect()
+    for r in got:
+        assert r["ts"] == pytest.approx(token_set_ratio_py(r["a"], r["b"]), abs=1e-12), (
+            r["a"], r["b"])
