@@ -786,6 +786,60 @@ def q25(spark, sf_dir):
     return embedding_near_duplicates(emb, threshold=0.4, mode="lsh", bands=32, rows_per_band=2)
 
 
+def _plane_sql(weights: list[int], col: str = "embedding") -> str:
+    parts = []
+    for i, w in enumerate(weights):
+        parts.append(("+ " if w > 0 else "- ") + f"{col}[{i + 1}]::DOUBLE")
+    expr = " ".join(parts)
+    return expr[2:] if expr.startswith("+ ") else expr
+
+
+def _lsh_band_cols_sql(bands: int, rows_per_band: int, dim: int) -> str:
+    """Band codes with the SAME ±1 plane constants the Spark operator
+    folds in at plan-build time (operators/ann.plane_weights) — the
+    oracle replicates the bucketing bit-for-bit, not just the output."""
+    from cogie_spark.operators.ann import plane_weights
+
+    cols = []
+    for b in range(bands):
+        terms = []
+        for r in range(rows_per_band):
+            w = plane_weights(b * rows_per_band + r, dim)
+            bit = f"(CASE WHEN ({_plane_sql(w)}) > 0 THEN 1 ELSE 0 END)"
+            terms.append(f"{bit} * {2 ** (rows_per_band - 1 - r)}")
+        cols.append(f"({' + '.join(terms)}) AS c{b}")
+    return ", ".join(cols)
+
+
+_COS_SQL = """round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+             / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))
+                  * list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))), 6)"""
+
+
+@q(
+    "q50_lsh_band_pairs",
+    f"""
+    WITH codes AS (SELECT vec_id, embedding, {_lsh_band_cols_sql(16, 2, 64)} FROM embeddings)
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id, {_COS_SQL} AS cosine
+    FROM codes a JOIN codes b
+      ON a.vec_id < b.vec_id
+     AND ({' OR '.join(f'a.c{i} = b.c{i}' for i in range(16))})
+    WHERE {_COS_SQL} >= 0.42
+    """,
+)
+def q50(spark, sf_dir):
+    """Banded hyperplane LSH near-dup — the scale path itself, oracle-
+    replicated: DuckDB computes the SAME 32 sign-bit planes (literal ±1
+    weights from the md5 family) and the same collide-in-any-band
+    candidate set, so the match verifies the bucketing, not just the
+    final pair set. Embedding dim is 64 in the driver testdata."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, threshold=0.42, mode="lsh", bands=16, rows_per_band=2
+    )
+
+
 # =====================================================================
 # The EL chain (SURVEY §3.1 lifecycle): blocking join -> pair scoring ->
 # argmax winner -> entity enrichment -> sameAs with 'unk' miss handling
@@ -1177,6 +1231,74 @@ def q47(spark, sf_dir):
         F.round("recall", 6).alias("recall"),
         F.round("f1", 6).alias("f1"),
     )
+
+
+_FBETA_BASE_SQL = """
+    WITH d AS (SELECT event_type AS target,
+                      CASE WHEN event_id % 3 = 0 THEN 'click' ELSE event_type END AS pred
+               FROM events),
+    p AS (SELECT pred AS label, sum(CASE WHEN target = pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 count(*) AS pred_n FROM d GROUP BY 1),
+    g AS (SELECT target AS label, count(*) AS true_n FROM d GROUP BY 1),
+    j AS (SELECT coalesce(p.label, g.label) AS label, coalesce(tp, 0)::BIGINT AS tp,
+                 coalesce(pred_n, 0)::BIGINT AS pred_n, coalesce(true_n, 0)::BIGINT AS true_n
+          FROM p FULL OUTER JOIN g ON p.label = g.label),
+    k AS (SELECT label, tp, pred_n, true_n,
+                 CASE WHEN pred_n = 0 THEN 0.0::DOUBLE ELSE tp / pred_n::DOUBLE END AS prec,
+                 CASE WHEN true_n = 0 THEN 0.0::DOUBLE ELSE tp / true_n::DOUBLE END AS rec
+          FROM k0) """.replace("FROM k0)", "FROM j)")
+
+
+@q(
+    "q49_fbeta_summary",
+    _FBETA_BASE_SQL
+    + """,
+    f AS (SELECT label, tp, pred_n, true_n, prec, rec,
+                 CASE WHEN tp = 0 THEN 0.0 ELSE 2.0 * prec * rec / (prec + rec) END AS fb
+          FROM k),
+    micro AS (SELECT 'micro' AS average,
+                     CASE WHEN sum(pred_n) = 0 THEN 0.0::DOUBLE ELSE sum(tp) / sum(pred_n)::DOUBLE END AS prec,
+                     CASE WHEN sum(true_n) = 0 THEN 0.0::DOUBLE ELSE sum(tp) / sum(true_n)::DOUBLE END AS rec,
+                     sum(tp)::BIGINT AS tpsum
+              FROM f),
+    macro AS (SELECT 'macro' AS average, avg(prec) AS precision_, avg(rec) AS recall_, avg(fb) AS fbeta_ FROM f),
+    wgt AS (SELECT 'weighted' AS average,
+                   sum(true_n * prec) / sum(true_n)::DOUBLE AS precision_,
+                   sum(true_n * rec) / sum(true_n)::DOUBLE AS recall_,
+                   sum(true_n * fb) / sum(true_n)::DOUBLE AS fbeta_ FROM f)
+    SELECT average, round(prec, 6) AS precision, round(rec, 6) AS recall,
+           round(CASE WHEN tpsum = 0 THEN 0.0 ELSE 2.0 * prec * rec / (prec + rec) END, 6) AS fbeta
+    FROM micro
+    UNION ALL SELECT average, round(precision_, 6), round(recall_, 6), round(fbeta_, 6) FROM macro
+    UNION ALL SELECT average, round(precision_, 6), round(recall_, 6), round(fbeta_, 6) FROM wgt
+    """,
+)
+def q49(spark, sf_dir):
+    """A13 F-beta summary modes (micro/macro/weighted, beta=1) over the
+    same derived prediction as q43 — reference FBetaMeasure
+    average='micro'|'macro'|'weighted' (metrics.py:1178-1201)."""
+    from cogie_spark.operators.metrics import fbeta_by_class, fbeta_summary
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("event_type").alias("target"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("click")).otherwise(F.col("event_type")).alias("pred"),
+    )
+    per = fbeta_by_class(d, "target", "pred", beta=1.0).persist()
+    parts = []
+    for mode in ("micro", "macro", "weighted"):
+        parts.append(
+            fbeta_summary(per, beta=1.0, average=mode).select(
+                F.lit(mode).alias("average"),
+                F.round("precision", 6).alias("precision"),
+                F.round("recall", 6).alias("recall"),
+                F.round("fbeta", 6).alias("fbeta"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
 
 
 @q(
