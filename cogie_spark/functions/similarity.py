@@ -218,14 +218,32 @@ def tfidf_cosine_udf(idf=None):
 
 
 # ------------------------------------------------------------- native cosine
-def cosine_native(a: Column | str, b: Column | str) -> Column:
+def cosine_native(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Cosine similarity of two array<double> columns, pure expressions.
 
     Sequential left-to-right double accumulation — bit-identical to
     DuckDB's list-based formulation, so it is oracle-checkable.
+
+    With ``dim`` known (ANN/near-dup callers infer it once at plan-build
+    time) the three sums unroll to static element_at chains that stay in
+    whole-stage codegen; the higher-order aggregate/zip_with fallback is
+    interpreted expression eval — same values, ~an order of magnitude
+    slower per pair.
     """
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
+    if dim:
+        dot = na = nb = None
+        for i in range(1, dim + 1):
+            xa = F.element_at(ca, i)
+            xb = F.element_at(cb, i)
+            dot = xa * xb if dot is None else dot + xa * xb
+            na = xa * xa if na is None else na + xa * xa
+            nb = xb * xb if nb is None else nb + xb * xb
+        # the HOF form starts its fold at 0.0: 0.0 + x == x exactly in
+        # IEEE for every x except -0.0, whose sign cannot affect any
+        # comparison downstream — values are identical
+        return dot / F.sqrt(na * nb)
     dot = F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.aggregate(ca, F.lit(0.0), lambda acc, v: acc + v * v)
     nb = F.aggregate(cb, F.lit(0.0), lambda acc, v: acc + v * v)

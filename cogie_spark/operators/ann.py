@@ -44,6 +44,7 @@ def brute_force_topk(
     (zip_with/aggregate) — the right baseline and the recall oracle for
     the bucketed variant.
     """
+    dim = infer_dim(corpus, vec_col)
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("_pv")
     )
@@ -52,7 +53,7 @@ def brute_force_topk(
     )
     scored = (
         c.crossJoin(F.broadcast(p))
-        .withColumn("cosine", F.round(cosine_native(F.col("_pv"), F.col("_cv")), 6))
+        .withColumn("cosine", F.round(cosine_native(F.col("_pv"), F.col("_cv"), dim=dim), 6))
         .drop("_pv", "_cv")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -170,7 +171,7 @@ def bucketed_topk(
     )
     scored = (
         cb.join(F.broadcast(pb), "bucket")
-        .withColumn("cosine", F.round(cosine_native(F.col("_pv"), F.col("embedding")), 6))
+        .withColumn("cosine", F.round(cosine_native(F.col("_pv"), F.col("embedding"), dim=dim), 6))
         .select("probe_id", "vec_id", "cosine")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -196,6 +196,9 @@ def embedding_near_duplicates(
     mode='exact': brute-force O(n²) self-join — the documented verifier
     / recall oracle for the LSH path, never the 100 TB default.
     """
+    from cogie_spark.operators.ann import infer_dim
+
+    dim = infer_dim(df, vec_col)
     side = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -212,7 +215,7 @@ def embedding_near_duplicates(
         from cogie_spark.operators.ann import lsh_band_table
 
         bt = lsh_band_table(
-            side, id_col="_id", vec_col="_v", bands=bands, rows_per_band=rows_per_band
+            side, id_col="_id", vec_col="_v", bands=bands, rows_per_band=rows_per_band, dim=dim
         )
         a, b = bt.alias("a"), bt.alias("b")
         pair_ids = (
@@ -235,7 +238,7 @@ def embedding_near_duplicates(
     else:
         raise ValueError(f"unknown mode: {mode!r}")
     return (
-        cand.withColumn("cosine", F.round(cosine_native(F.col("_lv"), F.col("_rv")), 6))
+        cand.withColumn("cosine", F.round(cosine_native(F.col("_lv"), F.col("_rv"), dim=dim), 6))
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
