@@ -9,14 +9,18 @@ pandas UDFs — one batch in, one float series out, zero per-row Spark
 Python (BASELINE.json north rule).
 
 Scorers:
-- ``jaro_winkler``      : string similarity (names/titles).
-- ``token_set_ratio``   : Levenshtein ratio over sorted unique tokens.
-- ``tfidf_cosine``      : cosine over hashed TF vectors with IDF weights
-                          (a broadcast doc-frequency dict stands in for the
-                          reference's precomputed candidate encodings,
-                          cogie/models/el/biencoder.py:127-128).
-- ``cosine_native``     : pure-expression dot/norm cosine for
-                          array<double> embedding columns (no Python).
+- ``jaro_winkler``            : string similarity (names/titles), pandas UDF.
+- ``token_set_ratio_native``  : Levenshtein ratio over sorted unique tokens
+                                as pure JVM expressions (the pipeline form);
+                                ``token_set_ratio``/``token_set_ratio_py``
+                                remain as the property-test oracle.
+- ``tfidf_cosine``            : cosine over hashed TF vectors with IDF weights
+                                (a broadcast doc-frequency dict stands in for
+                                the reference's precomputed candidate
+                                encodings, cogie/models/el/biencoder.py:127-128).
+- ``cosine_native``           : pure-expression dot/norm cosine for
+                                array<double> embedding columns (no Python;
+                                unrolls to codegen when dim is known).
 
 The DP Levenshtein runs in numpy over the whole batch's worst-case matrix;
 Jaro-Winkler is a tight per-element loop but only over the bounded-width

@@ -72,18 +72,22 @@ def score_pairs(
     content_col: str = "content",
     feature_chars: int = 2000,
     jw_chars: int = 256,
+    ts_chars: int = 512,
     weights: tuple[float, float, float] = (0.2, 0.5, 0.3),
     idf: dict[str, float] | None = None,
 ) -> DataFrame:
     """Join pair ids to features and compute the blended score.
 
     score = w_jw * jaro_winkler + w_ts * token_set_ratio
-          + w_tf * tfidf_cosine — the north rule's scorer triple, all
-    Arrow-batched pandas UDFs (the cross-encoder replacement).
-    Jaro-Winkler (quadratic in the worst case) sees only the first
-    ``jw_chars`` chars — the same bounded-feature-width discipline as the
-    reference's max_context_length=32 tokens; the other two see the full
-    ``feature_chars`` window (the Levenshtein DP row is vectorized).
+          + w_tf * tfidf_cosine — the north rule's scorer triple
+    (jw/tfidf Arrow-batched pandas UDFs, token-set pure JVM — the
+    cross-encoder replacement). The two quadratic scorers see bounded
+    windows — ``jw_chars`` and ``ts_chars`` — the same bounded-feature-
+    width discipline as the reference's max_seq_length=160-token pair
+    input (test_blink.py:53): per-pair scorer cost is O(window²), so an
+    unbounded window is the difference between a scorer stage that
+    scales with pair count and one that scales with pair×content size.
+    tfidf (linear) sees the full ``feature_chars`` window.
     Two shuffles (the two feature joins); the scorers are narrow stages.
     """
     feats = files.select(
@@ -109,7 +113,12 @@ def score_pairs(
         )
         # token_set_ratio is pure JVM expressions (sorted-unique-token
         # Levenshtein ratio) — one fewer Arrow round-trip per pair
-        .withColumn("ts", token_set_ratio_native(F.col("_lf"), F.col("_rf")))
+        .withColumn(
+            "ts",
+            token_set_ratio_native(
+                F.substring(F.col("_lf"), 1, ts_chars), F.substring(F.col("_rf"), 1, ts_chars)
+            ),
+        )
         .withColumn("tfidf", tf_cos(F.col("_lf"), F.col("_rf")))
         .withColumn(
             "score",

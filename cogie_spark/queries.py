@@ -1129,6 +1129,70 @@ for _scheme, _qname in (
 
 
 # =====================================================================
+# CoNLL stateful parse (S3) — oracle-checked on a deterministic fixture
+# =====================================================================
+
+_CONLL_LINES = [
+    "-DOCSTART- -X- -X- O",
+    "",
+    "EU NNP B-NP B-ORG",
+    "rejects VBZ B-VP O",
+    "German JJ B-NP B-MISC",
+    "call NN I-NP O",
+    ". . O O",
+    "",
+    "Peter NNP B-NP B-PER",
+    "Blackburn NNP I-NP I-PER",
+    "",
+    "BRUSSELS NNP B-NP B-LOC",
+    "1996-08-22 CD I-NP O",
+]
+
+
+@q(
+    "q51_conll_parse",
+    f"""
+    WITH lines(line_no, line) AS (VALUES {', '.join(f"({i}, '{ln}')" for i, ln in enumerate(_CONLL_LINES))}),
+    s AS (SELECT line_no, line,
+                 CASE WHEN trim(line) = '' THEN 1 ELSE 0 END AS _blank,
+                 sum(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END)
+                   OVER (ORDER BY line_no)::BIGINT AS sent_id
+          FROM lines),
+    t AS (SELECT sent_id, line_no,
+                 regexp_split_to_array(trim(line), '\\s+') AS cols
+          FROM s WHERE _blank = 0 AND NOT starts_with(line, '-DOCSTART-'))
+    SELECT sent_id,
+           string_agg(cols[1], ' ' ORDER BY line_no) AS tokens,
+           string_agg(cols[-1], ' ' ORDER BY line_no) AS tags,
+           count(*) AS n_tokens
+    FROM t GROUP BY sent_id
+    """,
+)
+def q51(spark, sf_dir):
+    """S3 CoNLL stateful line parse as sessionization
+    (/root/reference/cogie/io/loader/ner/conll2003.py:16-38): blank-line
+    running sum -> sentence groups, col0=token / last col=tag. The
+    fixture file is written deterministically; arrays are space-joined
+    for the driver canonicalizer."""
+    import os
+    import tempfile
+
+    from cogie_spark.sources.conll import read_conll
+
+    d = tempfile.mkdtemp(prefix="conll_fixture_")
+    path = os.path.join(d, "fixture.conll")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(_CONLL_LINES))
+    df = read_conll(spark, path)
+    return df.select(
+        F.col("sent_id").cast("bigint").alias("sent_id"),
+        F.array_join("tokens", " ").alias("tokens"),
+        F.array_join("tags", " ").alias("tags"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+# =====================================================================
 # Per-class F-beta (A13), tuple metrics (A14), ET threshold (F13)
 # =====================================================================
 
