@@ -94,16 +94,37 @@ def score_pairs(
         F.col(id_col).alias("_fid"),
         F.substring(normalize_text(content_col), 1, feature_chars).alias("_feat"),
     )
-    w_jw, w_ts, w_tf = weights
-    tf_cos = tfidf_cosine_udf(idf)
     joined = pairs.join(
         feats.withColumnRenamed("_fid", "left_id").withColumnRenamed("_feat", "_lf"), "left_id"
     ).join(feats.withColumnRenamed("_fid", "right_id").withColumnRenamed("_feat", "_rf"), "right_id")
+    return score_features(
+        joined, jw_chars=jw_chars, ts_chars=ts_chars, weights=weights, idf=idf
+    )
+
+
+def score_features(
+    joined: DataFrame,
+    jw_chars: int = 256,
+    ts_chars: int = 512,
+    weights: tuple[float, float, float] = (0.2, 0.5, 0.3),
+    idf: dict[str, float] | None = None,
+) -> DataFrame:
+    """Score a pair table that already carries its feature columns
+    (_lf, _rf) — the join-free half of :func:`score_pairs`.
+
+    Callers that must join other per-id payloads onto the pair table
+    anyway (run_linkage attaches MinHash signatures for the cascade
+    filter) should attach features in the SAME joins and call this
+    directly: every avoided pair-table shuffle is the dominant cost at
+    10^12-pair scale.
+    """
+    w_jw, w_ts, w_tf = weights
+    tf_cos = tfidf_cosine_udf(idf)
     # the scorers are CPU-bound per ROW; AQE coalesces this small-BYTES
     # shuffle to a couple of partitions, which would serialize the
     # Arrow-batched UDF stage. Spread it across the cluster explicitly.
     n_part = max(joined.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    scored = (
+    return (
         joined.repartition(n_part)
         .withColumn(
             "jw",
@@ -126,7 +147,6 @@ def score_pairs(
         )
         .drop("_lf", "_rf")
     )
-    return scored
 
 
 def match_edges(scored: DataFrame, threshold: float = 0.72) -> DataFrame:

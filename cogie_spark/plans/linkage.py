@@ -36,7 +36,7 @@ from cogie_spark.operators.blocking import (
     signature_table,
 )
 from cogie_spark.operators.cc import connected_components
-from cogie_spark.operators.scoring import match_edges, score_pairs
+from cogie_spark.operators.scoring import match_edges
 
 
 @dataclass
@@ -146,17 +146,42 @@ def run_linkage(
         blocks, id_col=cfg.id_col, key_cols=cfg.key_cols, max_block_size=cfg.max_block_size
     )
 
-    # cascade: MinHash-agreement Jaccard estimate (pure JVM) prunes the
-    # pair table before the expensive Arrow scorers — the reference's
-    # retrieve-then-rerank split (SURVEY.md §4)
-    sig_slim = sigs.select(F.col(cfg.id_col), F.col("sig"))
+    # cascade + feature attach, FUSED: the pair table is the biggest
+    # relation at scale, so it is shuffled exactly twice (once per side)
+    # carrying both the MinHash signature (for the est-Jaccard cascade,
+    # pure JVM — the reference's retrieve-then-rerank split, SURVEY.md
+    # §4) and the bounded feature window (for the scorers). The split
+    # form joined the pair table four times.
+    from cogie_spark.functions.text import normalize_text
+
+    side = (
+        sigs.select(F.col(cfg.id_col).alias("_sid"), "sig")
+        .join(
+            files.select(
+                F.col(cfg.id_col).alias("_sid"),
+                F.substring(
+                    normalize_text(cfg.content_col), 1, cfg.feature_chars
+                ).alias("_feat"),
+            ),
+            "_sid",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = (
         pairs.join(
-            sig_slim.withColumnRenamed(cfg.id_col, "left_id").withColumnRenamed("sig", "_lsig"),
+            side.select(
+                F.col("_sid").alias("left_id"),
+                F.col("sig").alias("_lsig"),
+                F.col("_feat").alias("_lf"),
+            ),
             "left_id",
         )
         .join(
-            sig_slim.withColumnRenamed(cfg.id_col, "right_id").withColumnRenamed("sig", "_rsig"),
+            side.select(
+                F.col("_sid").alias("right_id"),
+                F.col("sig").alias("_rsig"),
+                F.col("_feat").alias("_rf"),
+            ),
             "right_id",
         )
         .withColumn("est_jaccard", estimate_jaccard(F.col("_lsig"), F.col("_rsig"), cfg.num_perm))
@@ -169,11 +194,11 @@ def run_linkage(
         n_dropped = dropped.count()
         checkpoint.log_metric("blocking", 0, "dropped_blocks", float(n_dropped))
     else:
-        # downstream stages (scoring join, CC seed) and caller actions
-        # each reference the pair table — never recompute the self-join
+        # downstream stages (scoring, CC seed) and caller actions each
+        # reference the pair table — never recompute the self-join
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
 
-    from cogie_spark.operators.scoring import corpus_idf
+    from cogie_spark.operators.scoring import corpus_idf, score_features
 
     idf = None
     if cfg.idf_max_terms:
@@ -182,12 +207,8 @@ def run_linkage(
         idf = files.sparkSession.sparkContext.broadcast(
             corpus_idf(files, content_col=cfg.content_col, max_terms=cfg.idf_max_terms)
         )
-    scored = score_pairs(
+    scored = score_features(
         pairs,
-        files,
-        id_col=cfg.id_col,
-        content_col=cfg.content_col,
-        feature_chars=cfg.feature_chars,
         jw_chars=cfg.jw_chars,
         ts_chars=cfg.ts_chars,
         weights=cfg.weights,
