@@ -86,8 +86,19 @@ def incremental_link_batch(
             )
             .distinct()
         )
-        both = batch.select("file_id", "lang", "content").unionByName(
-            old.select("file_id", "lang", "content")
+        # feature join bounded to rows that actually appear in a
+        # candidate pair: the state is only SCANNED (columnar read),
+        # never shuffled wholesale — per-batch shuffle cost stays
+        # O(batch + matched)
+        cand_ids = (
+            cand.select(F.col("left_id").alias("file_id"))
+            .unionByName(cand.select(F.col("right_id").alias("file_id")))
+            .distinct()
+        )
+        both = (
+            batch.select("file_id", "lang", "content")
+            .unionByName(old.select("file_id", "lang", "content"))
+            .join(cand_ids, "file_id", "left_semi")
         )
         scored = score_pairs(cand, both)
         links = (
