@@ -1128,6 +1128,121 @@ for _scheme, _qname in (
     ORACLES[_qname] = _tag_decode_sql(_scheme)
 
 
+@q(
+    "q52_encode_tokens",
+    f"""
+    WITH vocab AS (
+      SELECT word, row_number() OVER (ORDER BY count DESC, word) + 1 AS idx FROM (
+        SELECT word, count(*) AS count FROM (
+          SELECT unnest({_toks('text')}) AS word FROM documents)
+        WHERE word <> '' GROUP BY word HAVING count(*) >= 20)
+    ),
+    toks AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS word FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(__t) + 1),
+                       i -> {{'pos': i - 1, 'tok': __t[i]}})) AS u
+        FROM (SELECT doc_id, {_toks('text')} AS __t FROM documents WHERE doc_id < 15))
+      WHERE u.tok <> ''
+    )
+    SELECT t.doc_id,
+           string_agg(CAST(coalesce(v.idx, 1) AS VARCHAR), ' ' ORDER BY t.pos) AS token_ids,
+           count(*) AS n_tokens
+    FROM toks t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.doc_id
+    """,
+)
+def q52(spark, sf_dir):
+    """Vocabulary-encode round trip (S7/J1): token arrays -> id arrays
+    via broadcast join against the vocab dim (reference word2idx lookup,
+    vocabulary.py:214-230), unknown -> idx 1. Ids space-joined for the
+    canonicalizer. Empty tokens are excluded on both sides (the Spark
+    tokenizer emits none for normalized text)."""
+    from cogie_spark.operators.vocab import build_vocab, encode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", min_freq=20, n_special=2)
+    d = docs.filter("doc_id < 15").select("doc_id", "text")
+    enc = encode_tokens(d, vocab, text_col="text", unk_idx=1)
+    return enc.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform("token_ids", lambda x: x.cast("string"))).alias("token_ids"),
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+    )
+
+
+_CTX_FIXTURE = [
+    # (id, left tokens, right tokens) exercising both-long, short-left,
+    # short-right, both-short, and empty-side quota transfers
+    (0, "a b c d e f", "u v w x y z"),
+    (1, "a", "u v w x y z"),
+    (2, "a b c d e f", "u"),
+    (3, "a b", "u v"),
+    (4, "", "u v w x y z"),
+    (5, "a b c d e f", ""),
+]
+
+
+@q(
+    "q53_context_window",
+    f"""
+    WITH rows(id, l, r) AS (VALUES {', '.join(f"({i}, '{l}', '{r}')" for i, l, r in _CTX_FIXTURE)}),
+    t AS (SELECT id,
+                 list_filter(string_split(l, ' '), x -> x <> '') AS lt,
+                 list_filter(string_split(r, ' '), x -> x <> '') AS rt
+          FROM rows),
+    qta AS (SELECT id, lt, rt, len(lt) AS ln, len(rt) AS rn,
+                 greatest(least(len(lt), 4 + greatest(4 - len(rt), 0)), 0) AS lq,
+                 greatest(least(len(rt), 4 + greatest(4 - len(lt), 0)), 0) AS rq
+          FROM t)
+    SELECT id,
+           coalesce(array_to_string(CASE WHEN lq > 0 THEN lt[ln - lq + 1 : ln] ELSE []::VARCHAR[] END, ' '), '') AS kept_left,
+           coalesce(array_to_string(CASE WHEN rq > 0 THEN rt[1 : rq] ELSE []::VARCHAR[] END, ' '), '') AS kept_right
+    FROM qta
+    """,
+)
+def q53(spark, sf_dir):
+    """F4 context-window truncation with quota rebalancing (reference
+    el_toolkit.py:217-230: each side gets max_len/2, unused quota from
+    the short side transfers to the long side; left keeps its TAIL)."""
+    from cogie_spark.functions.features import context_window
+
+    df = spark.createDataFrame(_CTX_FIXTURE, "id long, l string, r string")
+    toks = df.select(
+        "id",
+        F.filter(F.split("l", " "), lambda x: x != "").alias("lt"),
+        F.filter(F.split("r", " "), lambda x: x != "").alias("rt"),
+    )
+    win = toks.select("id", context_window("lt", "rt", max_len=8).alias("w"))
+    return win.select(
+        "id",
+        F.array_join(F.col("w.left"), " ").alias("kept_left"),
+        F.array_join(F.col("w.right"), " ").alias("kept_right"),
+    )
+
+
+@q(
+    "q54_frame_sample",
+    """
+    SELECT media_id, unnest(range(0, greatest(n_frames - 1, 0) + 1, 10))::BIGINT AS frame_idx
+    FROM (SELECT 'm' || CAST(i AS VARCHAR) AS media_id, 95 + i * 7 AS n_frames
+          FROM range(0, 12) t(i))
+    """,
+)
+def q54(spark, sf_dir):
+    """F12/F15 video frame-sampling plumbing (multimodal.frame_sample):
+    1 media row -> n_frames/10 frame-index rows, pure sequence explode —
+    no Python touches the bytes for the index math."""
+    from cogie_spark.operators.multimodal import frame_sample
+
+    rows = [(f"m{i}", "video", bytearray(b"x"), (32, 32, 16000, 95 + i * 7)) for i in range(12)]
+    from cogie_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return frame_sample(df, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    )
+
+
 # =====================================================================
 # CoNLL stateful parse (S3) — oracle-checked on a deterministic fixture
 # =====================================================================

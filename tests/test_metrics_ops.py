@@ -142,6 +142,36 @@ def test_tag_decode_all_schemes_match_reference(spark):
         assert got == expected, f"{scheme}: {got ^ expected}"
 
 
+def test_tag_decode_random_sequences(spark):
+    """Property: on random (including malformed) tag sequences, every
+    scheme's decode equals the reference state machine."""
+    import random
+
+    rng = random.Random(13)
+    prefixes = {"bio": "BIO", "bioes": "BIOES", "bmes": "BMES", "bmeso": "BMESO"}
+    labels = ["PER", "LOC", "ORG"]
+    for scheme, pfx in prefixes.items():
+        rows, expected = [], set()
+        for s in range(8):
+            tags = []
+            for p in range(rng.randint(1, 12)):
+                c = rng.choice(pfx)
+                tags.append("O" if c == "O" else f"{c}-{rng.choice(labels)}")
+            for p, tag in enumerate(tags):
+                rows.append((0, s, p, f"t{s}_{p}", tag))
+            for label, start, end in _ref_decode(tags, scheme):
+                text = " ".join(f"t{s}_{p}" for p in range(start, end))
+                expected.add((0, s, label, start, end, text))
+        df = spark.createDataFrame(
+            rows, "doc_id long, sent_id long, pos long, token string, tag string"
+        )
+        got = {
+            (r["doc_id"], r["sent_id"], r["label"], r["start"], r["end"], r["text"])
+            for r in tag_spans_decode(df, scheme=scheme).collect()
+        }
+        assert got == expected, f"{scheme}: {got ^ expected}"
+
+
 def test_trex_loader_boundaries(spark):
     import json
     import tempfile
