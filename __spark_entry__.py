@@ -89,6 +89,23 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _w2ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2NER grid decode (the reference's one imperative per-sentence
+    kernel, ner_toolkit.py:242-285) on a deterministic sparse-grid
+    fixture — rows-only: path-enumerating DFS has no SQL twin."""
+    from cogie_spark.operators.w2ner import w2ner_decode
+
+    rows = []
+    for s in range(6):
+        # chain s tokens long: 1 -> 2 -> ... -> s+1, typed head/tails
+        for i in range(1, s + 1):
+            rows.append((0, s, i, i + 1, 1))
+        rows.append((0, s, s + 1, 1, 2 + (s % 3)))   # THW tail=s+1 head=1
+        rows.append((0, s, 0, 0, 4))                 # single-word entity
+    df = spark.createDataFrame(rows, "doc_id long, sent_id long, row int, col int, val int")
+    return w2ner_decode(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cogie_spark.queries import QUERIES
 
@@ -96,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q40_flagship_clusters"] = _flagship_clusters
     out["q41_flagship_pairwise_f1"] = _flagship_eval
     out["q42_multimodal_features"] = _multimodal_features
+    out["q55_w2ner_decode"] = _w2ner_entities
     return {name: _shipped(fn) for name, fn in out.items()}
 
 

@@ -172,6 +172,30 @@ def test_tag_decode_random_sequences(spark):
         assert got == expected, f"{scheme}: {got ^ expected}"
 
 
+def test_w2ner_decode_hand_case(spark):
+    """Hand-computed W2NER grid (reference ner_toolkit.py:242-285):
+    NNW chains 1->2->3 and 0->2; THW heads (1,{2,3}), (0,{2}), single
+    word (4,4). Expected entities: [1,2] t5, [1,2,3] t2, [0,2] t3, [4] t4."""
+    from cogie_spark.operators.w2ner import w2ner_decode, w2ner_decode_py
+
+    cells = [
+        (1, 2, 1), (2, 3, 1), (0, 2, 1),   # NNW upper triangle
+        (3, 1, 2), (2, 0, 3), (4, 4, 4), (2, 1, 5),  # THW lower triangle
+    ]
+    expected = {("0-2", 3), ("1-2", 5), ("1-2-3", 2), ("4", 4)}
+    assert set(w2ner_decode_py(cells)) == expected
+
+    rows = [(0, 0, r, c, v) for r, c, v in cells]
+    # second sentence: empty grid -> no entities
+    rows.append((0, 1, 0, 0, 0))
+    df = spark.createDataFrame(rows, "doc_id long, sent_id long, row int, col int, val int")
+    got = {
+        (r["sent_id"], r["indices"], r["entity_type"])
+        for r in w2ner_decode(df).collect()
+    }
+    assert got == {(0, i, t) for i, t in expected}
+
+
 def test_trex_loader_boundaries(spark):
     import json
     import tempfile
