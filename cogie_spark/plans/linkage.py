@@ -151,7 +151,11 @@ def run_linkage(
     # carrying both the MinHash signature (for the est-Jaccard cascade,
     # pure JVM — the reference's retrieve-then-rerank split, SURVEY.md
     # §4) and the bounded feature window (for the scorers). The split
-    # form joined the pair table four times.
+    # form joined the pair table four times. Trade-off: fusion carries
+    # the feature bytes for pairs the cascade later discards — a win
+    # while the cascade keep-ratio is high (measured 0.96 on the code
+    # fixture: banding already implies est-Jaccard ≈ threshold), a loss
+    # on corpora where banding is much looser than the prefilter.
     from cogie_spark.functions.text import normalize_text
 
     side = (
