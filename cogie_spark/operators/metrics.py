@@ -121,6 +121,45 @@ def fbeta_summary(per_class: DataFrame, beta: float = 1.0, average: str = "micro
     raise ValueError(f"unknown average: {average!r}")
 
 
+def fbeta_multilabel(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    gold_col: str,
+    beta: float = 1.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-class multi-label F-beta over a LONG-format (instance, label,
+    prob, gold∈{0,1}) table — reference FBetaMultiLabelMetric
+    (/root/reference/cogie/core/metrics.py:1238-1325) and its ET
+    instantiation EntityTypingMetric (:1736-1851): prediction = prob >=
+    threshold per cell; tp/pred_n/true_n counted per class, then the
+    parent FBetaMeasure formulas. One partial-aggregated groupBy on the
+    class column — no join needed, the long format carries every cell.
+
+    (The reference's all-zero-logit pred_mask guard is a tensor
+    artifact with no long-format analogue: a cell either exists or it
+    does not.)
+    """
+    beta2 = float(beta) * float(beta)
+    pred = (F.col(prob_col) >= threshold).cast("int")
+    gold = F.col(gold_col).cast("int")
+    agg = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.sum(pred * gold).alias("tp"),
+        F.sum(pred).alias("pred_n"),
+        F.sum(gold).alias("true_n"),
+    )
+    p = F.coalesce(F.try_divide(F.col("tp"), F.col("pred_n")), F.lit(0.0))
+    r = F.coalesce(F.try_divide(F.col("tp"), F.col("true_n")), F.lit(0.0))
+    fb = F.when(F.col("tp") == 0, F.lit(0.0)).otherwise(
+        (1.0 + beta2) * p * r / (beta2 * p + r)
+    )
+    return agg.select(
+        "label", "tp", "pred_n", "true_n",
+        p.alias("precision"), r.alias("recall"), fb.alias("fbeta"),
+    )
+
+
 def tuple_prf(pred: DataFrame, gold: DataFrame, keys: tuple[str, ...]) -> DataFrame:
     """Micro P/R/F1 over exact tuple matches — the reference's
     SPO/CASEE/Event tuple metrics (SPOMetric

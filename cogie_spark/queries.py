@@ -1481,6 +1481,48 @@ def q49(spark, sf_dir):
 
 
 @q(
+    "q56_fbeta_multilabel",
+    """
+    WITH cells AS (SELECT user_id, event_type,
+                          max((event_id % 100) / 100.0) AS prob,
+                          CASE WHEN max(value) > 2.5 THEN 1 ELSE 0 END AS gold
+                   FROM events GROUP BY 1, 2),
+    agg AS (SELECT event_type AS label,
+                   sum(CASE WHEN prob >= 0.5 AND gold = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                   sum(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS pred_n,
+                   sum(gold)::BIGINT AS true_n
+            FROM cells GROUP BY 1),
+    k AS (SELECT label, tp, pred_n, true_n,
+                 CASE WHEN pred_n = 0 THEN 0.0::DOUBLE ELSE tp / pred_n::DOUBLE END AS prec,
+                 CASE WHEN true_n = 0 THEN 0.0::DOUBLE ELSE tp / true_n::DOUBLE END AS rec
+          FROM agg)
+    SELECT label, tp, pred_n, true_n,
+           round(prec, 6) AS precision, round(rec, 6) AS recall,
+           round(CASE WHEN tp = 0 THEN 0.0 ELSE 2.0 * prec * rec / (prec + rec) END, 6) AS fbeta
+    FROM k
+    """,
+)
+def q56(spark, sf_dir):
+    """A13 multi-label per-class F-beta — reference FBetaMultiLabelMetric
+    (metrics.py:1238-1325) over long-format (user, type, prob, gold)
+    cells with deterministic prob and gold columns."""
+    from cogie_spark.operators.metrics import fbeta_multilabel
+
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy("user_id", "event_type").agg(
+        F.max((F.col("event_id") % 100) / 100.0).alias("prob"),
+        F.when(F.max("value") > 2.5, 1).otherwise(0).alias("gold"),
+    )
+    per = fbeta_multilabel(cells, "event_type", "prob", "gold", beta=1.0, threshold=0.5)
+    return per.select(
+        "label", "tp", "pred_n", "true_n",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("fbeta", 6).alias("fbeta"),
+    )
+
+
+@q(
     "q48_et_threshold",
     """
     WITH probs AS (SELECT user_id, event_type, max((event_id % 100) / 100.0) AS prob

@@ -248,3 +248,20 @@ def test_linkage_custom_id_col(spark):
     clusters = out["clusters"]
     assert clusters.count() == files.count()
     assert set(clusters.columns) == {"file_id", "cluster_id"}
+
+
+def test_fbeta_multilabel_hand_values(spark):
+    # cells (instance, label, prob, gold):
+    # label a: (0,a,.9,1) tp, (1,a,.2,1) fn, (2,a,.8,0) fp -> tp=1 pred=2 gold=2
+    # label b: (0,b,.6,1) tp only -> P=R=F=1
+    rows = [
+        (0, "a", 0.9, 1), (1, "a", 0.2, 1), (2, "a", 0.8, 0),
+        (0, "b", 0.6, 1),
+    ]
+    df = spark.createDataFrame(rows, "inst long, label string, prob double, gold int")
+    from cogie_spark.operators.metrics import fbeta_multilabel
+
+    got = {r["label"]: r for r in fbeta_multilabel(df, "label", "prob", "gold").collect()}
+    assert got["a"]["tp"] == 1 and got["a"]["pred_n"] == 2 and got["a"]["true_n"] == 2
+    assert abs(got["a"]["precision"] - 0.5) < 1e-12 and abs(got["a"]["fbeta"] - 0.5) < 1e-12
+    assert got["b"]["fbeta"] == 1.0
