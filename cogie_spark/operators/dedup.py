@@ -173,6 +173,65 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> 
     )
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` via chunk-bucketed
+    self-join + exact hamming verify.
+
+    Pigeonhole makes this EXACT, not probabilistic: two hashes differing
+    in <= max_hamming bits must agree on at least one of n_chunks
+    disjoint chunks whenever max_hamming < n_chunks — so the chunk
+    equi-join (the only shuffle that matters at scale) loses no pair,
+    and the bit_count(xor) verify is pure codegen. The classic
+    rotate-and-block SimHash scheme (Manku et al., WWW'07) restated as
+    explode + equi-join.
+    """
+    if max_hamming >= n_chunks:
+        raise ValueError("exactness needs max_hamming < n_chunks (pigeonhole)")
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    t = df.select(F.col(id_col).alias("_id"), simhash64(toks, bits=bits).alias("_sh"))
+    chunks = t.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("_sh", c * chunk_bits).bitwiseAND(F.lit(mask)).alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_sh", F.col("_c.chunk_id").alias("chunk_id"), F.col("_c.chunk_val").alias("chunk_val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("left_id"),
+            F.col("b._id").alias("right_id"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("left_id", "right_id")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -546,6 +546,33 @@ def q23(spark, sf_dir):
 
 
 @q(
+    "q57_simhash_near_dup",
+    f"""
+    WITH h AS (
+      SELECT doc_id, ({_simhash_sql(16)}) AS simhash FROM (
+        SELECT doc_id, list_transform(list_filter({_toks('text')}, t -> t <> ''),
+                                      t -> {_h64_sql('t')}) AS __h
+        FROM documents WHERE doc_id < 200)
+    )
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q57(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) via the chunk-bucketed
+    self-join — EXACT by pigeonhole (4 disjoint chunks, <= 3 differing
+    bits => one chunk equal), so the brute-force DuckDB twin matches
+    the bucketed plan's output identically."""
+    from cogie_spark.operators.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    out = simhash_near_duplicates(d, "doc_id", "text", bits=16, max_hamming=3, n_chunks=4)
+    return out.select("left_id", "right_id", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@q(
     "q29_fingerprint",
     f"SELECT doc_id, md5({_norm('text')}) AS fp FROM documents",
 )

@@ -186,3 +186,15 @@ def test_embedding_near_dup_lsh_equals_exact_and_no_cartesian(spark):
 
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_near_dup_no_cartesian(spark):
+    """The hamming<=k pair search must plan a chunk equi-join (exact by
+    pigeonhole), never an all-pairs product."""
+    from cogie_spark.operators.dedup import simhash_near_duplicates
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = simhash_near_duplicates(d, "doc_id", "text", bits=16, max_hamming=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert out.count() > 0
