@@ -201,19 +201,36 @@ def candidate_pairs(
     # aggregation and both sides of the self-join; recomputing would
     # re-run the MinHash pass. MEMORY_AND_DISK spills at scale.
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = blocks.groupBy(*key).agg(F.count("*").alias("block_size"))
-    keep = sizes.filter(F.col("block_size") <= max_block_size * salvage_factor)
-    dropped = sizes.filter(F.col("block_size") > max_block_size * salvage_factor)
+    # sizes is re-read by the max pre-check AND the keep/dropped splits —
+    # persist the (1 row per block) table so the agg runs once
+    sizes = blocks.groupBy(*key).agg(F.count("*").alias("block_size")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
-    n_salt = F.when(F.col("block_size") <= max_block_size, F.lit(1)).otherwise(
-        F.ceil(F.col("block_size") / max_block_size).cast("int")
-    )
-    salted = (
-        blocks.join(keep, key, "inner")
-        .withColumn("_nsalt", n_salt)
-        .withColumn("salt", F.pmod(F.xxhash64(id_col, "band_hash"), F.col("_nsalt")))
-        .drop("_nsalt", "block_size")
-    )
+    # adaptive guardrail: the sizes AGGREGATION is cheap (map-side
+    # combined), but joining it back onto the full block table is a
+    # second shuffle of the biggest relation in this stage. One bounded
+    # scalar pre-check skips that join — and the whole salt machinery —
+    # whenever no block exceeds the cap (exact-prededup'd corpora hit
+    # this path; boilerplate-heavy ones take the guarded path below).
+    max_row = sizes.agg(F.max("block_size").alias("m")).first()
+    max_seen = int(max_row["m"]) if max_row and max_row["m"] is not None else 0
+    if max_seen <= max_block_size:
+        dropped = sizes.filter(F.lit(False))
+        salted = blocks.withColumn("salt", F.lit(0))
+    else:
+        keep = sizes.filter(F.col("block_size") <= max_block_size * salvage_factor)
+        dropped = sizes.filter(F.col("block_size") > max_block_size * salvage_factor)
+
+        n_salt = F.when(F.col("block_size") <= max_block_size, F.lit(1)).otherwise(
+            F.ceil(F.col("block_size") / max_block_size).cast("int")
+        )
+        salted = (
+            blocks.join(keep, key, "inner")
+            .withColumn("_nsalt", n_salt)
+            .withColumn("salt", F.pmod(F.xxhash64(id_col, "band_hash"), F.col("_nsalt")))
+            .drop("_nsalt", "block_size")
+        )
 
     join_key = [*key, "salt"]
     a = salted.alias("a")
