@@ -79,3 +79,22 @@ def test_stream_wiring_availablenow(spark):
     members = spark.read.parquet(f"{state_dir}/members_delta_*")
     assert members.count() == files.count()
     assert set(members.columns) == {"file_id", "cluster_id", "lang", "content", "sig"}
+
+
+def test_corrupt_state_raises_not_relinks(spark):
+    """ADVICE r1: a genuine read error on existing state must propagate
+    — only the missing-state case may start fresh."""
+    import os
+    import tempfile
+
+    import pytest
+
+    state_dir = tempfile.mkdtemp(prefix="cogie_corrupt_")
+    delta = os.path.join(state_dir, "members_delta_00000")
+    os.makedirs(delta)
+    with open(os.path.join(delta, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    state = TableIO(spark, state_dir)
+    batch = code_files(spark, n_groups=3, seed=42)
+    with pytest.raises(Exception):
+        incremental_link_batch(batch, state, batch_id=1).count()
