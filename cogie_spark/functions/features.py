@@ -43,6 +43,34 @@ def context_window(
     return F.struct(kept_left.alias("left"), kept_right.alias("right"))
 
 
+def dis2idx(dist: Column | str) -> Column:
+    """W6: the reference's log2 distance-bucket code for W2NER grids
+    (/root/reference/cogie/io/processor/ner/trex_ner.py:40-49,72-82).
+
+    For signed token distance d = i - j:
+      |d| in [2^(k-1), 2^k) -> bucket k+1 capped at 9 (|d| >= 256 -> 9),
+      |d| = 1 -> 1; negative d adds 9; d = 0 -> 19.
+    Expressed as a static threshold ``when`` chain (exact — no float
+    log2), whole-stage codegen'd.
+    """
+    d = F.col(dist) if isinstance(dist, str) else dist
+    a = F.abs(d)
+    mag = (
+        F.when(a >= 256, 9)
+        .when(a >= 128, 8)
+        .when(a >= 64, 7)
+        .when(a >= 32, 6)
+        .when(a >= 16, 5)
+        .when(a >= 8, 4)
+        .when(a >= 4, 3)
+        .when(a >= 2, 2)
+        .otherwise(1)
+    )
+    return (
+        F.when(d == 0, 19).when(d < 0, mag + 9).otherwise(mag).cast("int")
+    )
+
+
 def pad_to(col: Column | str, n: int, pad=0) -> Column:
     """F5: fixed-length padding (el_toolkit.py:234-236) — truncate to n
     or right-pad with ``pad``."""

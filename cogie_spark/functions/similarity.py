@@ -236,6 +236,11 @@ def cosine_native(a: Column | str, b: Column | str, dim: int | None = None) -> C
     """
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
+    # unroll cap: 3 sums × dim element_at nodes — beyond ~256 dims the
+    # expression tree risks codegen fallback / slow analysis, and the
+    # interpreted HOF form below is the better trade (ADVICE r2 #4)
+    if dim and dim > 256:
+        dim = None
     if dim:
         dot = na = nb = None
         for i in range(1, dim + 1):

@@ -75,9 +75,31 @@ def plane_weights(proj_id: int, dim: int) -> list[int]:
     ]
 
 
+# above this dim, ±element_at unrolling is replaced by a literal-array
+# zip_with fold: expression count otherwise grows as planes × dim
+# (~50k nodes at 768-dim × 64 planes), risking codegen fallback and
+# slow analysis (ADVICE r2 #4). The fold keeps ONE Literal node per
+# plane (an array literal), at interpreted-eval cost per row.
+UNROLL_MAX_DIM = 128
+
+
 def _plane_sign(vec: Column, weights: list[int]) -> Column:
-    """sign(sum_d w_d * v_d) as a codegen'd ±element_at sum (w_d = ±1,
-    so x*w folds to x or -x — bit-identical to the multiply form)."""
+    """sign(sum_d w_d * v_d); w_d = ±1 plan-time constants.
+
+    dim <= UNROLL_MAX_DIM: codegen'd ±element_at sum (x*±1 folds to
+    x or -x — bit-identical to the multiply form). Above: literal
+    weight ARRAY + zip_with/aggregate fold — same values, compact plan.
+    """
+    if len(weights) > UNROLL_MAX_DIM:
+        wlit = F.lit([float(w) for w in weights])
+        return (
+            F.aggregate(
+                F.zip_with(vec, wlit, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0
+        ).cast("int")
     total = None
     for i, w in enumerate(weights):
         term = F.element_at(vec, i + 1)
@@ -87,8 +109,29 @@ def _plane_sign(vec: Column, weights: list[int]) -> Column:
     return (total > 0).cast("int")
 
 
-def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
-    """Vector width from one row — a bounded plan-build-time probe."""
+def infer_dim(df: DataFrame, vec_col: str = "embedding", strict: bool = False) -> int:
+    """Vector width from one row — a bounded plan-build-time probe.
+
+    FIXED-DIM CONTRACT: every downstream unrolled expression
+    (element_at chains in cosine_native/_plane_sign) assumes all
+    vectors have this width; under Spark 4 ANSI mode a shorter vector
+    fails the job (INVALID_ARRAY_INDEX). ``strict=True`` verifies the
+    contract with one min/max-size aggregate over the column (a full
+    column scan — use it at ingest boundaries, not per call).
+    """
+    if strict:
+        row = df.agg(
+            F.min(F.size(F.col(vec_col))).alias("lo"),
+            F.max(F.size(F.col(vec_col))).alias("hi"),
+        ).first()
+        if row is None or row["lo"] is None:
+            raise ValueError(f"cannot infer vector dim from empty column {vec_col!r}")
+        if row["lo"] != row["hi"] or row["lo"] <= 0:
+            raise ValueError(
+                f"ragged vector column {vec_col!r}: sizes in [{row['lo']}, {row['hi']}] "
+                "violate the fixed-dim contract"
+            )
+        return int(row["hi"])
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if row is None or row["d"] is None or row["d"] <= 0:
         raise ValueError(f"cannot infer vector dim from column {vec_col!r}")

@@ -57,13 +57,25 @@ def accuracy(df: DataFrame, target: str, pred: str) -> DataFrame:
     )
 
 
-def fbeta_by_class(df: DataFrame, target: str, pred: str, beta: float = 1.0) -> DataFrame:
+def fbeta_by_class(
+    df: DataFrame,
+    target: str,
+    pred: str,
+    beta: float = 1.0,
+    label_domain: "DataFrame | list | None" = None,
+) -> DataFrame:
     """Per-class precision/recall/F-beta — reference FBetaMeasure with
     average=None (/root/reference/cogie/core/metrics.py:1075-1236):
     tp = #(gold==pred==c), pred_n = #(pred==c), true_n = #(gold==c);
     precision = tp/pred_n, recall = tp/true_n with 0-on-zero-denominator
     (_prf_divide, metrics.py:1228-1236); fscore = (1+β²)PR/(β²P+R) and
     fscore = 0 where tp == 0 (metrics.py:1184-1186).
+
+    ``label_domain``: the reference averages over the FULL class
+    vocabulary, so classes never predicted nor gold contribute zero
+    rows to the macro mean. Pass the vocabulary (a list of labels or a
+    1-column DataFrame) to union in those zero-count classes; without
+    it the output covers observed labels only (ADVICE r2 #3).
 
     Two partial-aggregated groupBys + one join on the (small) class
     domain — never a shuffle of the fact rows beyond the counts.
@@ -74,7 +86,15 @@ def fbeta_by_class(df: DataFrame, target: str, pred: str, beta: float = 1.0) -> 
         F.count("*").alias("pred_n"),
     )
     golds = df.groupBy(F.col(target).alias("label")).agg(F.count("*").alias("true_n"))
-    j = preds.join(golds, "label", "full_outer").select(
+    j = preds.join(golds, "label", "full_outer")
+    if label_domain is not None:
+        if not isinstance(label_domain, DataFrame):
+            label_domain = df.sparkSession.createDataFrame(
+                [(str(x),) for x in label_domain], "label string"
+            )
+        dom = label_domain.select(F.col(label_domain.columns[0]).alias("label")).distinct()
+        j = j.join(dom, "label", "full_outer")
+    j = j.select(
         "label",
         F.coalesce("tp", F.lit(0)).alias("tp"),
         F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
@@ -96,8 +116,12 @@ def fbeta_summary(per_class: DataFrame, beta: float = 1.0, average: str = "micro
     average='micro'|'macro'|'weighted' modes (metrics.py:1178-1201)."""
     beta2 = float(beta) * float(beta)
     if average == "micro":
+        # sums over an EMPTY per-class table are NULL, which would skip
+        # the tp==0 zero-guard and surface NaN — coalesce to 0 first
         agg = per_class.agg(
-            F.sum("tp").alias("tp"), F.sum("pred_n").alias("pred_n"), F.sum("true_n").alias("true_n")
+            F.coalesce(F.sum("tp"), F.lit(0)).alias("tp"),
+            F.coalesce(F.sum("pred_n"), F.lit(0)).alias("pred_n"),
+            F.coalesce(F.sum("true_n"), F.lit(0)).alias("true_n"),
         )
         p = F.coalesce(F.try_divide(F.col("tp"), F.col("pred_n")), F.lit(0.0))
         r = F.coalesce(F.try_divide(F.col("tp"), F.col("true_n")), F.lit(0.0))
@@ -107,9 +131,9 @@ def fbeta_summary(per_class: DataFrame, beta: float = 1.0, average: str = "micro
         return agg.select(p.alias("precision"), r.alias("recall"), fb.alias("fbeta"))
     if average == "macro":
         return per_class.agg(
-            F.avg("precision").alias("precision"),
-            F.avg("recall").alias("recall"),
-            F.avg("fbeta").alias("fbeta"),
+            F.coalesce(F.avg("precision"), F.lit(0.0)).alias("precision"),
+            F.coalesce(F.avg("recall"), F.lit(0.0)).alias("recall"),
+            F.coalesce(F.avg("fbeta"), F.lit(0.0)).alias("fbeta"),
         )
     if average == "weighted":
         w = F.col("true_n").cast("double")
@@ -174,10 +198,15 @@ def tuple_prf(pred: DataFrame, gold: DataFrame, keys: tuple[str, ...]) -> DataFr
     p = pred.select(*keys).distinct().withColumn("_p", F.lit(1))
     g = gold.select(*keys).distinct().withColumn("_g", F.lit(1))
     j = p.join(g, list(keys), "full_outer")
+    # sums over an EMPTY join are NULL, which would skip the zero guards
+    # below and compute 0.0/0.0 — coalesce the counters to 0 (ADVICE r2)
     agg = j.agg(
-        F.sum(F.when(F.col("_p").isNotNull(), 1).otherwise(0)).alias("pred_num"),
-        F.sum(F.when(F.col("_g").isNotNull(), 1).otherwise(0)).alias("gold_num"),
-        F.sum(F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1).otherwise(0)).alias("right_num"),
+        F.coalesce(F.sum(F.when(F.col("_p").isNotNull(), 1).otherwise(0)), F.lit(0)).alias("pred_num"),
+        F.coalesce(F.sum(F.when(F.col("_g").isNotNull(), 1).otherwise(0)), F.lit(0)).alias("gold_num"),
+        F.coalesce(
+            F.sum(F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("right_num"),
     )
     pr = F.coalesce(F.try_divide(F.col("right_num"), F.col("pred_num")), F.lit(0.0))
     rc = F.coalesce(F.try_divide(F.col("right_num"), F.col("gold_num")), F.lit(0.0))

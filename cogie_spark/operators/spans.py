@@ -10,10 +10,11 @@ flags become a running sum() segment id, and spans fall out of a
 groupBy — classic sessionization (SURVEY.md §2.5 W5).
 
 Faithfulness notes vs the reference:
-- prefixes are compared lowercased (the reference lowercases the whole
-  tag, metrics.py:425); span labels keep their input case (cosmetic —
-  the reference emits lowercased labels, callers that need that can
-  lower() the output).
+- the WHOLE tag is lowercased before decoding (the reference lowercases
+  the whole tag, metrics.py:425), so both the continuation predicate and
+  the emitted span label are case-insensitive: 'B-PER' followed by
+  'I-per' continues one 'per' span, exactly as the reference decoders do
+  (ADVICE r2 #1).
 - continuation is judged against the IMMEDIATELY PRECEDING token's
   prefix+label, which equals the reference's "prev tag in {...} and
   label == spans[-1][0]" check: every non-O token carries its own
@@ -46,7 +47,7 @@ def tag_spans_decode(tokens_df: DataFrame, scheme: str = "bio") -> DataFrame:
     spec = SCHEMES[scheme]
     w = Window.partitionBy("doc_id", "sent_id").orderBy("pos")
     prefix = F.lower(F.substring("tag", 1, 1))
-    label = F.substring("tag", 3, 1000)
+    label = F.lower(F.substring("tag", 3, 1000))
     prev_prefix = F.lag(prefix).over(w)
     prev_label = F.lag(label).over(w)
     is_o = prefix.isin(*spec["o"]) if spec["o"] else F.lit(False)

@@ -158,34 +158,31 @@ def q13(spark, sf_dir):
 
 @q(
     "q14_accuracy",
-    "SELECT round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS accuracy FROM events",
+    """
+    SELECT o.accuracy, m.macro_acc FROM
+      (SELECT round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+       FROM events) o
+    CROSS JOIN
+      (SELECT round(avg(acc), 6) AS macro_acc FROM (
+         SELECT user_id, avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS acc
+         FROM events GROUP BY user_id)) m
+    """,
 )
 def q14(spark, sf_dir):
-    """Masked accuracy as avg(indicator) (A6; metrics.py:231-292)."""
+    """A6 masked accuracy as avg(indicator) (metrics.py:231-292) + A7
+    per-group accuracy -> unweighted macro mean
+    (/root/reference/cogie/toolkit/el/el_toolkit.py:574-621), one row."""
     ev = _t(spark, sf_dir, "events")
-    return ev.agg(
+    overall = ev.agg(
         F.round(F.avg(F.when(F.col("event_type") == "click", 1.0).otherwise(0.0)), 6).alias(
             "accuracy"
         )
     )
-
-
-@q(
-    "q15_macro_accuracy",
-    """
-    SELECT round(avg(acc), 6) AS macro_acc FROM (
-      SELECT user_id, avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS acc
-      FROM events GROUP BY user_id)
-    """,
-)
-def q15(spark, sf_dir):
-    """Per-group accuracy then unweighted macro mean (A7;
-    /root/reference/cogie/toolkit/el/el_toolkit.py:574-621)."""
-    ev = _t(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(
         F.avg(F.when(F.col("event_type") == "click", 1.0).otherwise(0.0)).alias("acc")
     )
-    return per.agg(F.round(F.avg("acc"), 6).alias("macro_acc"))
+    macro = per.agg(F.round(F.avg("acc"), 6).alias("macro_acc"))
+    return overall.crossJoin(macro)
 
 
 # =====================================================================
@@ -239,25 +236,30 @@ def q05(spark, sf_dir):
 
 
 @q(
-    "q06_semi_join",
-    "SELECT p_partkey, p_name FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)",
+    "q06_membership_joins",
+    """
+    SELECT 'in' AS side, p_partkey AS keyval, p_name AS name
+    FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    UNION ALL
+    SELECT 'out' AS side, c_custkey AS keyval, c_name AS name
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
 )
 def q06(spark, sf_dir):
-    """J9 semi-join membership (predictor.py:126-127 LU-dictionary)."""
+    """J9 semi-join membership (predictor.py:126-127 LU-dictionary) +
+    J10 anti-join (vocabulary.py:156-159 new-words-only), one query
+    tagged by side."""
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
-
-
-@q(
-    "q07_anti_join",
-    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
-)
-def q07(spark, sf_dir):
-    """J10 anti-join (vocabulary.py:156-159 new-words-only)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi = p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        F.lit("in").alias("side"), F.col("p_partkey").alias("keyval"), F.col("p_name").alias("name")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("out").alias("side"), F.col("c_custkey").alias("keyval"), F.col("c_name").alias("name")
+    )
+    return semi.unionByName(anti)
 
 
 @q(
@@ -287,40 +289,34 @@ def q08(spark, sf_dir):
 # =====================================================================
 
 @q(
-    "q02_topk_per_group",
+    "q02_topk_argmax",
     """
-    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
-      FROM orders) WHERE rk <= 3
+    WITH topk AS (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders) WHERE rk <= 3),
+    best AS (SELECT o_custkey, min(o_orderkey) FILTER (WHERE rk = 1) AS best_order
+             FROM topk GROUP BY o_custkey)
+    SELECT t.o_custkey, t.o_orderkey, t.totalprice, t.rk, b.best_order
+    FROM topk t JOIN best b ON t.o_custkey = b.o_custkey
     """,
 )
 def q02(spark, sf_dir):
-    """W1 top-k per group (el_toolkit.py:528 scores.topk)."""
+    """W1 top-k per group (el_toolkit.py:528 scores.topk) + W2 argmax
+    winner via max_by (el_toolkit.py:131-133,642) — each top-k row also
+    carries its group's argmax winner."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
+    topk = (
         o.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk")
     )
-
-
-@q(
-    "q03_argmax_per_group",
-    """
-    SELECT o_custkey, o_orderkey AS best_order FROM (
-      SELECT o_custkey, o_orderkey,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
-      FROM orders) WHERE rk = 1
-    """,
-)
-def q03(spark, sf_dir):
-    """W2 argmax winner select (el_toolkit.py:131-133,642) via max_by."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_custkey").agg(
+    best = o.groupBy("o_custkey").agg(
         F.expr("max_by(o_orderkey, struct(o_totalprice, -o_orderkey))").alias("best_order")
     )
+    return topk.join(best, "o_custkey")
 
 
 @q(
@@ -356,40 +352,26 @@ def q09(spark, sf_dir):
 # =====================================================================
 
 @q(
-    "q10_word_topk",
+    "q10_vocab_topk",
     f"""
-    SELECT word, count(*) AS n FROM (
-      SELECT unnest({_toks('text')}) AS word FROM documents)
-    WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 50
+    SELECT word, count, idx FROM (
+      SELECT word, count, row_number() OVER (ORDER BY count DESC, word) + 1 AS idx FROM (
+        SELECT word, count(*) AS count FROM (
+          SELECT unnest({_toks('text')}) AS word FROM documents)
+        WHERE word <> '' GROUP BY word HAVING count(*) >= 20))
+    ORDER BY count DESC, word LIMIT 50
     """,
 )
 def q10(spark, sf_dir):
-    """A1 word count + A2 top-k by frequency (vocabulary.py:115-124,152)."""
+    """A1 word count + A2 top-k by frequency (vocabulary.py:115-124,152)
+    + P6 min-freq HAVING + W7 dense index (vocabulary.py:144-165): the
+    vocabulary dim table, top-50 by frequency."""
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(tokens("text")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), F.asc("word"))
+        build_vocab(d, "text", min_freq=20, n_special=2)
+        .orderBy(F.desc("count"), F.asc("word"))
         .limit(50)
     )
-
-
-@q(
-    "q11_vocab_dim",
-    f"""
-    SELECT word, count, row_number() OVER (ORDER BY count DESC, word) + 1 AS idx FROM (
-      SELECT word, count(*) AS count FROM (
-        SELECT unnest({_toks('text')}) AS word FROM documents)
-      WHERE word <> '' GROUP BY word HAVING count(*) >= 20)
-    """,
-)
-def q11(spark, sf_dir):
-    """Vocabulary dim table: min-freq HAVING + dense idx (P6 + W7;
-    vocabulary.py:144-165)."""
-    d = _t(spark, sf_dir, "documents")
-    return build_vocab(d, "text", min_freq=20, n_special=2)
 
 
 @q("q12_distinct_labels", "SELECT DISTINCT event_type AS label FROM events")
@@ -573,32 +555,28 @@ def q57(spark, sf_dir):
 
 
 @q(
-    "q29_fingerprint",
-    f"SELECT doc_id, md5({_norm('text')}) AS fp FROM documents",
-)
-def q29(spark, sf_dir):
-    """Document fingerprint: md5 of normalized content."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint("text").alias("fp"))
-
-
-@q(
-    "q30_winnow",
+    "q29_fingerprint_winnow",
     f"""
-    SELECT doc_id, len(list_distinct(list_transform(
+    SELECT doc_id, md5({_norm('text')}) AS fp,
+           len(list_distinct(list_transform(
              range(1, greatest(len(__h) - 2, 2)),
              i -> list_min(__h[i:i+3])))) AS n_fingerprints
-    FROM (SELECT doc_id, list_transform(
+    FROM (SELECT doc_id, text, list_transform(
             list_transform(range(1, greatest(length({_norm('text')}) - 6, 2)),
                            i -> substring({_norm('text')}, i::INT, 8)),
             s -> {_h28_sql('s')}) AS __h
           FROM documents WHERE doc_id < 50)
     """,
 )
-def q30(spark, sf_dir):
-    """Winnowing fingerprint count (rolling-hash document fingerprint)."""
+def q29(spark, sf_dir):
+    """Document fingerprint (md5 of normalized content) + winnowing
+    fingerprint count (rolling-hash window minima, Schleimer et al.)."""
     d = _t(spark, sf_dir, "documents").filter("doc_id < 50")
-    return d.select("doc_id", F.size(winnow_fingerprints("text", k=8, window=4)).alias("n_fingerprints"))
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.size(winnow_fingerprints("text", k=8, window=4)).alias("n_fingerprints"),
+    )
 
 
 # =====================================================================
@@ -638,41 +616,35 @@ def _langid_sql() -> str:
     """, hits
 
 
-@q("q26_lang_id", None)  # oracle attached below (needs the CTE)
+@q("q26_text_stats", None)  # oracle attached below (needs the lang-id CTE)
 def q26(spark, sf_dir):
-    """Language-ID heuristic: argmax of stopword hits, 'und' fallback."""
+    """Language-ID heuristic (argmax of stopword hits, 'und' fallback) +
+    quality-scoring features (length / punctuation / case ratios), one
+    row per document."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+    qf = quality_features(d.select("doc_id", "lang", "text"), "text")
+    return qf.select(
+        "doc_id", "lang", lang_id("text").alias("pred_lang"),
+        "n_chars", "n_tokens", "punct_ratio", "upper_ratio",
+    )
 
 
 _case, _hits = _langid_sql()
-ORACLES["q26_lang_id"] = f"""
-    SELECT doc_id, lang, ({_case}) AS pred_lang FROM (
+ORACLES["q26_text_stats"] = f"""
+    SELECT doc_id, lang, ({_case}) AS pred_lang,
+           n_chars, n_tokens, punct_ratio, upper_ratio
+    FROM (
       SELECT doc_id, lang,
              {_hits['en']} AS h_en, {_hits['de']} AS h_de,
-             {_hits['fr']} AS h_fr, {_hits['es']} AS h_es
+             {_hits['fr']} AS h_fr, {_hits['es']} AS h_es,
+             length({_norm('text')}) AS n_chars,
+             len({_toks('text')}) AS n_tokens,
+             round(length(regexp_replace({_norm('text')}, '[a-z0-9\\s]', '', 'g'))
+                   / greatest(length({_norm('text')}), 1), 6) AS punct_ratio,
+             round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS upper_ratio
       FROM documents)
 """
-
-
-@q(
-    "q27_quality",
-    f"""
-    SELECT doc_id,
-           length({_norm('text')}) AS n_chars,
-           len({_toks('text')}) AS n_tokens,
-           round(length(regexp_replace({_norm('text')}, '[a-z0-9\\s]', '', 'g'))
-                 / greatest(length({_norm('text')}), 1), 6) AS punct_ratio,
-           round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                 / greatest(length(text), 1), 6) AS upper_ratio
-    FROM documents
-    """,
-)
-def q27(spark, sf_dir):
-    """Quality-scoring features (length / punctuation / case ratios)."""
-    d = _t(spark, sf_dir, "documents")
-    qf = quality_features(d, "text")
-    return qf.select("doc_id", "n_chars", "n_tokens", "punct_ratio", "upper_ratio")
 
 
 # =====================================================================
@@ -1093,21 +1065,23 @@ def _tag_fixture_rows(scheme: str) -> list[tuple[int, int, int, str, str]]:
     return rows
 
 
-def _tag_decode_query(scheme: str):
-    def fn(spark, sf_dir):
-        from cogie_spark.operators.spans import tag_spans_decode
+def _tag_decode_all(spark, sf_dir):
+    """W5 BIO/BMES/BIOES/BMESO span decode via sessionization, all four
+    schemes union'd with a scheme tag (reference state machines
+    /root/reference/cogie/core/metrics.py:419-505)."""
+    from cogie_spark.operators.spans import tag_spans_decode
 
+    out = None
+    for scheme in _TAG_FIXTURES:
         df = spark.createDataFrame(
             _tag_fixture_rows(scheme),
             "doc_id long, sent_id long, pos long, token string, tag string",
         )
-        return tag_spans_decode(df, scheme=scheme)
-
-    fn.__doc__ = (
-        f"W5 {scheme.upper()} span decode via sessionization "
-        "(reference /root/reference/cogie/core/metrics.py:419-505)."
-    )
-    return fn
+        part = tag_spans_decode(df, scheme=scheme).select(
+            F.lit(scheme).alias("scheme"), "*"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _tag_decode_sql(scheme: str) -> str:
@@ -1131,9 +1105,9 @@ def _tag_decode_sql(scheme: str) -> str:
     WITH toks(doc_id, sent_id, pos, token, tag) AS (VALUES {values}),
     t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sent_id AS BIGINT) AS sent_id,
                  CAST(pos AS BIGINT) AS pos, token,
-                 lower(substring(tag, 1, 1)) AS pfx, substring(tag, 3) AS lbl,
+                 lower(substring(tag, 1, 1)) AS pfx, lower(substring(tag, 3)) AS lbl,
                  lag(lower(substring(tag, 1, 1))) OVER w AS ppfx,
-                 lag(substring(tag, 3)) OVER w AS plbl
+                 lag(lower(substring(tag, 3))) OVER w AS plbl
           FROM toks WINDOW w AS (PARTITION BY doc_id, sent_id ORDER BY pos)),
     f AS (SELECT *, CASE {o_case}
                  WHEN pfx IN ({cont}) AND ppfx IN ({prev}) AND plbl = lbl THEN 0
@@ -1145,14 +1119,11 @@ def _tag_decode_sql(scheme: str) -> str:
     """
 
 
-for _scheme, _qname in (
-    ("bio", "q33_bio_span_decode"),
-    ("bmes", "q44_bmes_span_decode"),
-    ("bioes", "q45_bioes_span_decode"),
-    ("bmeso", "q46_bmeso_span_decode"),
-):
-    QUERIES[_qname] = _tag_decode_query(_scheme)
-    ORACLES[_qname] = _tag_decode_sql(_scheme)
+QUERIES["q33_tag_decode"] = _tag_decode_all
+ORACLES["q33_tag_decode"] = "\nUNION ALL\n".join(
+    f"SELECT '{_scheme}' AS scheme, * FROM ({_tag_decode_sql(_scheme)})"
+    for _scheme in _TAG_FIXTURES
+)
 
 
 @q(
@@ -1574,6 +1545,43 @@ def q48(spark, sf_dir):
     )
     out = threshold_labels(probs, ["user_id"], label_col="event_type", prob_col="prob", threshold=0.5)
     return out.select("user_id", F.concat_ws(",", "types").alias("types"), "n_types")
+
+
+@q(
+    "q58_dis2idx_grid",
+    """
+    WITH pos AS (SELECT unnest(range(0, 20)) AS p),
+    g AS (SELECT a.p AS i, b.p AS j, a.p - b.p AS d FROM pos a CROSS JOIN pos b),
+    m AS (SELECT i, j, d,
+                 CASE WHEN abs(d) >= 256 THEN 9 WHEN abs(d) >= 128 THEN 8
+                      WHEN abs(d) >= 64 THEN 7 WHEN abs(d) >= 32 THEN 6
+                      WHEN abs(d) >= 16 THEN 5 WHEN abs(d) >= 8 THEN 4
+                      WHEN abs(d) >= 4 THEN 3 WHEN abs(d) >= 2 THEN 2
+                      ELSE 1 END AS mag
+          FROM g)
+    SELECT i::BIGINT AS i, j::BIGINT AS j,
+           (CASE WHEN d = 0 THEN 19 WHEN d < 0 THEN mag + 9 ELSE mag END)::INT AS dist_code
+    FROM m
+    """,
+)
+def q58(spark, sf_dir):
+    """W6 dis2idx log2 distance-bucket grid — the reference's W2NER
+    dist_inputs feature (/root/reference/cogie/io/processor/ner/
+    trex_ner.py:40-49,72-82) as a named expression over a 20x20
+    position grid."""
+    from cogie_spark.functions.features import dis2idx
+
+    pos = spark.range(0, 20).select(F.col("id").alias("p"))
+    g = (
+        pos.alias("a")
+        .crossJoin(pos.alias("b"))
+        .select(
+            F.col("a.p").alias("i"),
+            F.col("b.p").alias("j"),
+            (F.col("a.p") - F.col("b.p")).alias("d"),
+        )
+    )
+    return g.select("i", "j", dis2idx("d").alias("dist_code"))
 
 
 @q(

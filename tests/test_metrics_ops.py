@@ -103,7 +103,8 @@ def _ref_decode(tags: list[str], scheme: str) -> list[tuple[str, int, int]]:
     spans: list[list] = []
     prev = None
     for idx, tag in enumerate(tags):
-        pfx, label = tag[:1].lower(), tag[2:]
+        tag = tag.lower()  # the reference lowercases the WHOLE tag (metrics.py:425)
+        pfx, label = tag[:1], tag[2:]
         if spec["o"] and pfx in spec["o"]:
             prev = pfx
             continue
@@ -149,7 +150,9 @@ def test_tag_decode_random_sequences(spark):
 
     rng = random.Random(13)
     prefixes = {"bio": "BIO", "bioes": "BIOES", "bmes": "BMES", "bmeso": "BMESO"}
-    labels = ["PER", "LOC", "ORG"]
+    # mixed-case labels: cross-case continuation ('B-PER' then 'I-per')
+    # must continue one span, as the reference's whole-tag lower() does
+    labels = ["PER", "per", "LOC", "ORG"]
     for scheme, pfx in prefixes.items():
         rows, expected = [], set()
         for s in range(8):

@@ -77,14 +77,16 @@ def test_bio_decode_matches_reference_semantics(spark):
     from cogie_spark.operators.spans import bio_decode
 
     rows = [
-        (0, 0, 0, "a", "B-PER"), (0, 0, 1, "b", "I-PER"), (0, 0, 2, "c", "O"),
+        (0, 0, 0, "a", "B-PER"), (0, 0, 1, "b", "I-per"), (0, 0, 2, "c", "O"),
         (0, 0, 3, "d", "I-LOC"),            # I after O -> new LOC span
         (0, 0, 4, "e", "I-ORG"),            # label change -> new ORG span
         (0, 0, 5, "f", "B-ORG"),            # B always new
     ]
     df = spark.createDataFrame(rows, "doc_id long, sent_id long, pos long, token string, tag string")
     spans = {(r["label"], r["start"], r["end"]) for r in bio_decode(df).collect()}
-    assert spans == {("PER", 0, 2), ("LOC", 3, 4), ("ORG", 4, 5), ("ORG", 5, 6)}
+    # the reference lowercases the whole tag, so 'I-per' CONTINUES the
+    # 'B-PER' span and all emitted labels are lowercase (ADVICE r2 #1)
+    assert spans == {("per", 0, 2), ("loc", 3, 4), ("org", 4, 5), ("org", 5, 6)}
 
 
 def test_vocab_encode_roundtrip(spark):
