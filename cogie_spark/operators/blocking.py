@@ -176,6 +176,7 @@ def candidate_pairs(
     key_cols: tuple[str, ...] = ("lang",),
     max_block_size: int = 64,
     salvage_factor: int = 32,
+    pair_mode: str = "agg",
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join blocks into deduped candidate pairs with a two-tier
     skew guardrail: SALT the hot blocks, DROP the pathological ones.
@@ -232,6 +233,42 @@ def candidate_pairs(
             .drop("_nsalt", "block_size")
         )
 
+    if pair_mode == "agg":
+        # pair generation: aggregate each (block, salt) bucket into a
+        # sorted id array, then emit the i<j pairs with posexplode +
+        # slice. This replaces the equi self-join (pair_mode='join'),
+        # whose sort-merge plan was measured WALL-FLAT from 8 to 32
+        # cores — the stage cost was the two full sorts of the biggest
+        # relation in the pipeline, not the pair emission. The hash
+        # aggregate needs no sort (session.py raises the
+        # ObjectHashAggregate sort-fallback threshold so it STAYS
+        # hash-based), partially combines map-side, and the generate
+        # emits exactly s(s-1)/2 rows per bucket instead of the join's
+        # s^2-then-filter. Array sizes are HARD BOUNDED before this
+        # point: buckets are <= ~max_block_size by the salting tier
+        # above (pathological blocks were dropped), so no collect_list
+        # buffer can blow up on a boilerplate mega-block.
+        grouped = salted.groupBy(*key, "salt").agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+        )
+        pairs = (
+            grouped.filter(F.size("_ids") >= 2)
+            .select(*key_cols, F.posexplode("_ids").alias("_i", "left_id"), "_ids")
+            .select(
+                *key_cols,
+                "left_id",
+                F.explode(
+                    F.slice("_ids", F.col("_i") + 2, F.size("_ids") - F.col("_i") - 1)
+                ).alias("right_id"),
+            )
+            # dedup across bands: map-side combine makes this a cheap agg
+            .groupBy("left_id", "right_id", *key_cols)
+            .agg(F.count("*").alias("n_shared_bands"))
+        )
+        return pairs, dropped
+
+    # pair_mode='join': the equi self-join form, kept for A/B
+    # measurement and as the fallback if a corpus defeats the agg form
     join_key = [*key, "salt"]
     a = salted.alias("a")
     b = salted.alias("b")
@@ -245,7 +282,6 @@ def candidate_pairs(
             F.col(f"b.{id_col}").alias("right_id"),
             *[F.col(f"a.{k}").alias(k) for k in key_cols],
         )
-        # dedup across bands: map-side combine makes this a cheap agg
         .groupBy("left_id", "right_id", *key_cols)
         .agg(F.count("*").alias("n_shared_bands"))
     )

@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("COGIE_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # collect_list aggregations (blocking's bucket pair generation)
+        # run in ObjectHashAggregate, which silently degrades to a
+        # SORT-based fallback after 128 distinct keys per task — the
+        # default re-introduces exactly the sort the bucket design
+        # removes. 512k keys/task × ~300 B ≈ 150 MB, inside a normal
+        # executor's aggregation budget.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "524288")
     )
     if extra_conf:
         for k, v in extra_conf.items():
