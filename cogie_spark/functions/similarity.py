@@ -88,14 +88,88 @@ def jaro_winkler_py(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     return j + prefix * prefix_weight * (1.0 - j)
 
 
+def jaro_winkler_batch(av, bv, prefix_weight: float = 0.1) -> np.ndarray:
+    """Jaro-Winkler over a whole batch, vectorized ACROSS the batch:
+    one loop of O(Lmax) numpy steps replaces the per-row O(L²) Python
+    character loops (VERDICT r2 #5 — the last Python hot loop in the
+    flagship scorer). Bit-identical to :func:`jaro_winkler_py`
+    (property-tested): same greedy window matching, same transposition
+    count, same float operation order.
+    """
+    n = len(av)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    l1 = np.fromiter((len(s) if s else 0 for s in av), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(s) if s else 0 for s in bv), dtype=np.int64, count=n)
+    valid = (l1 > 0) & (l2 > 0)
+    if not valid.any():
+        return out
+    L1 = int(l1.max())
+    L2 = int(l2.max())
+    # pad to a uint32 codepoint matrix; 0 never equals a real char
+    A = np.zeros((n, L1), dtype=np.uint32)
+    B = np.zeros((n, L2), dtype=np.uint32)
+    for i in range(n):
+        if l1[i]:
+            A[i, : l1[i]] = np.frombuffer(av[i].encode("utf-32-le"), dtype=np.uint32)
+        if l2[i]:
+            B[i, : l2[i]] = np.frombuffer(bv[i].encode("utf-32-le"), dtype=np.uint32)
+    w = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    j_idx = np.arange(L2)[None, :]
+    m1 = np.zeros((n, L1), dtype=bool)
+    m2 = np.zeros((n, L2), dtype=bool)
+    for i in range(L1):
+        active = (i < l1) & valid
+        if not active.any():
+            break
+        c = A[:, i]
+        lo = np.maximum(i - w, 0)[:, None]
+        hi = np.minimum(i + w + 1, l2)[:, None]
+        # first unmatched in-window match of c per row (greedy order)
+        cand = (B == c[:, None]) & ~m2 & (j_idx >= lo) & (j_idx < hi) & active[:, None]
+        hit = cand.any(axis=1)
+        j = np.argmax(cand, axis=1)
+        rows = np.nonzero(hit)[0]
+        m2[rows, j[rows]] = True
+        m1[rows, i] = True
+    matches = m1.sum(axis=1)
+    # transpositions: both sides' matched chars in match order, compared
+    M1 = np.zeros((n, L1), dtype=np.uint32)
+    M2 = np.zeros((n, L1), dtype=np.uint32)
+    k1 = np.cumsum(m1, axis=1) - 1
+    r, c = np.nonzero(m1)
+    M1[r, k1[r, c]] = A[r, c]
+    k2 = np.cumsum(m2, axis=1) - 1
+    r, c = np.nonzero(m2)
+    M2[r, k2[r, c]] = B[r, c]
+    ord_idx = np.arange(L1)[None, :]
+    t = ((M1 != M2) & (ord_idx < matches[:, None])).sum(axis=1) // 2
+    has = valid & (matches > 0)
+    m = matches.astype(np.float64)
+    d1 = np.where(l1 > 0, l1, 1)
+    d2 = np.where(l2 > 0, l2, 1)
+    jaro = np.where(
+        has, (m / d1 + m / d2 + (m - t) / np.where(m > 0, m, 1)) / 3.0, 0.0
+    )
+    pl = min(4, L1, L2)
+    if pl:
+        minl = np.minimum(l1, l2)[:, None]
+        eq = (A[:, :pl] == B[:, :pl]) & (np.arange(pl)[None, :] < minl)
+        p = np.cumprod(eq, axis=1).sum(axis=1).astype(np.float64)
+    else:
+        p = np.zeros(n)
+    out = np.where(has, jaro + p * prefix_weight * (1.0 - jaro), 0.0)
+    # scalar-code shortcut: equal non-empty strings are exactly 1.0
+    eqmask = valid & np.fromiter((x == y for x, y in zip(av, bv)), dtype=bool, count=n)
+    return np.where(eqmask, 1.0, out)
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
-    out = np.empty(len(a), dtype=np.float64)
-    av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
-    for i in range(len(av)):
-        x, y = av[i], bv[i]
-        out[i] = jaro_winkler_py(x or "", y or "")
-    return pd.Series(out)
+    av = a.fillna("").to_numpy(dtype=object)
+    bv = b.fillna("").to_numpy(dtype=object)
+    return pd.Series(jaro_winkler_batch(av, bv))
 
 
 # -------------------------------------------------------- token-set levenshtein

@@ -107,7 +107,12 @@ def connected_components(
         if checkpoint is not None:
             cur = checkpoint.commit("cc_edges", cur, iteration=it + 1)
         else:
-            cur = cur.localCheckpoint(eager=True)
+            # LAZY checkpoint: the fingerprint aggregate below is the
+            # materializing action, so each round runs ONE job (compute
+            # + checkpoint + convergence stats) instead of an eager
+            # materialization job followed by a fingerprint job — the
+            # per-iteration driver constant halves (VERDICT r2 #6)
+            cur = cur.localCheckpoint(eager=False)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break
