@@ -82,15 +82,28 @@ def main():
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
 
     if "--leg" in sys.argv:
-        # one scaling leg, run inside a core-pinned subprocess
+        # one scaling leg, run inside a core-pinned subprocess.
+        # Flagship ONLY: the scaling metric is candidate-pairs-scored/sec
+        # of the linkage pipeline, and shorter legs allow the repeat-and-
+        # keep-best protocol the noisy host requires (BASELINE.md).
+        from cogie_spark.session import get_spark
+
         cores = int(sys.argv[sys.argv.index("--leg") + 1])
-        timings, extras = run_once(f"local[{cores}]", sf_dir, n_groups, cores)
+        spark = get_spark(
+            app_name="cogie_bench_leg", master=f"local[{cores}]", shuffle_partitions=cores
+        )
+        fixture_path = _stage_fixture(spark, n_groups)
+        t0 = time.time()
+        n_pairs, n_clusters = _flagship(spark, fixture_path)
+        dt = time.time() - t0
+        spark.stop()
         print(
             json.dumps(
                 {
-                    "flagship_sec": timings["flagship_linkage"],
-                    "pairs_per_sec": extras["pairs_scored_per_sec"],
-                    "total_sec": round(sum(timings.values()), 2),
+                    "flagship_sec": round(dt, 2),
+                    "pairs_per_sec": round(n_pairs / dt, 1),
+                    "pairs_scored": n_pairs,
+                    "clusters": n_clusters,
                 }
             )
         )
