@@ -65,7 +65,7 @@ def run_once(master: str, sf_dir: str, n_groups: int, shuffle: int):
     extras["pairs_scored_per_sec"] = round(n_pairs / dt, 1)
 
     for name in ["q01_pricing_summary", "q04_enrich_join", "q08_range_join",
-                 "q32_minhash_near_dup", "q24_ann_topk", "q10_word_topk"]:
+                 "q32_minhash_near_dup", "q24_ann_topk", "q10_vocab_topk"]:
         t0 = time.time()
         # count() materializes the full result without driver collect
         QUERIES[name](spark, sf_dir).count()

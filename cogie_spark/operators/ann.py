@@ -23,8 +23,12 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
 from cogie_spark.functions.similarity import cosine_native
 
@@ -81,6 +85,48 @@ def plane_weights(proj_id: int, dim: int) -> list[int]:
 # slow analysis (ADVICE r2 #4). The fold keeps ONE Literal node per
 # plane (an array literal), at interpreted-eval cost per row.
 UNROLL_MAX_DIM = 128
+
+# total ±element_at nodes across ALL planes of one projection beyond
+# which the generated Java method exceeds janino's 64 KB limit and
+# whole-stage codegen silently falls back to INTERPRETED eval (measured:
+# 32 planes × 64 dims logged 'Code grows beyond 64 KB' and ran 20-40 s
+# at sf0.1 where the Arrow path below runs in ~2 s). Past this budget
+# the band codes are computed by a vectorized pandas UDF instead.
+CODEGEN_NODE_BUDGET = 1024
+
+
+def _band_codes_arrow(bands: int, rows_per_band: int, dim: int):
+    """pandas UDF computing ALL band codes per vector in one Arrow pass.
+
+    The projection sum for each plane is accumulated SEQUENTIALLY over
+    the dimension index — the same left-to-right float addition order as
+    the unrolled ±element_at chain and the DuckDB oracle's SQL twin
+    (queries._plane_sql), so the sign bits are bit-identical and the
+    bucketing stays oracle-checkable.
+    """
+    n_planes = bands * rows_per_band
+    W = np.array(
+        [plane_weights(p, dim) for p in range(n_planes)], dtype=np.float64
+    )  # n_planes × dim
+
+    @pandas_udf(ArrayType(LongType()))
+    def codes(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())  # n × dim float64 (fixed-dim contract)
+        n = M.shape[0]
+        S = np.zeros((n, n_planes), dtype=np.float64)
+        for i in range(dim):  # sequential: matches the unrolled sum order
+            S += M[:, i, None] * W[None, :, i]
+        bits = (S > 0).astype(np.int64)
+        # combine bits row-major per band: code_b = sum_r bit[b*rpb+r] << (rpb-1-r)
+        out = np.zeros((n, bands), dtype=np.int64)
+        for b in range(bands):
+            code = np.zeros(n, dtype=np.int64)
+            for r in range(rows_per_band):
+                code = code * 2 + bits[:, b * rows_per_band + r]
+            out[:, b] = code
+        return pd.Series(list(out))
+
+    return codes
 
 
 def _plane_sign(vec: Column, weights: list[int]) -> Column:
@@ -152,13 +198,21 @@ def lsh_buckets(
     (vec_id, bucket, embedding).
     """
     dim = dim or infer_dim(df, vec_col)
+    base = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if n_bits * dim > CODEGEN_NODE_BUDGET:
+        codes = _band_codes_arrow(1, n_bits, dim)
+        return base.select(
+            "vec_id",
+            F.element_at(codes(F.col("_v")), 1).alias("bucket"),
+            F.col("_v").alias("embedding"),
+        )
     v = F.col("_v")
     bucket = F.lit(0).cast("long")
     for b in range(n_bits):
         bucket = bucket * 2 + _plane_sign(v, plane_weights(b, dim))
-    return df.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).select("vec_id", bucket.alias("bucket"), F.col("_v").alias("embedding"))
+    return base.select("vec_id", bucket.alias("bucket"), F.col("_v").alias("embedding"))
 
 
 def lsh_band_table(
@@ -177,6 +231,17 @@ def lsh_band_table(
     candidate pairs.
     """
     dim = dim or infer_dim(df, vec_col)
+    base = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if bands * rows_per_band * dim > CODEGEN_NODE_BUDGET:
+        # one Arrow matmul for all band codes — same values (sequential
+        # accumulation), compact plan; the unrolled form below would
+        # break the 64 KB codegen method limit and run interpreted
+        codes = _band_codes_arrow(bands, rows_per_band, dim)
+        return base.select("vec_id", codes(F.col("_v")).alias("_codes")).select(
+            "vec_id", F.posexplode("_codes").alias("band_id", "band_hash")
+        )
     v = F.col("_v")
     band_structs = []
     for b in range(bands):
@@ -184,9 +249,7 @@ def lsh_band_table(
         for r in range(rows_per_band):
             code = code * 2 + _plane_sign(v, plane_weights(b * rows_per_band + r, dim))
         band_structs.append(F.struct(F.lit(b).alias("band_id"), code.alias("band_hash")))
-    return df.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).select(
+    return base.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("_band")
     ).select(
         "vec_id",
