@@ -200,3 +200,24 @@ def test_simhash_near_dup_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert out.count() > 0
+
+
+def test_nltk_tokenizer_optional(spark):
+    """F1 parity tokenizer is gated behind an optional import with a
+    clear error; with nltk installed it tokenizes via word_tokenize."""
+    import pytest
+
+    from cogie_spark.functions.text import nltk_tokens_udf
+
+    try:
+        import nltk  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="nltk"):
+            nltk_tokens_udf()
+        return
+    tok = nltk_tokens_udf()
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("Hello, world!",)], ["text"])
+    out = df.select(tok(F.col("text")).alias("t")).first()["t"]
+    assert "Hello" in out and "," in out
