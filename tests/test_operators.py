@@ -221,3 +221,42 @@ def test_nltk_tokenizer_optional(spark):
     df = spark.createDataFrame([("Hello, world!",)], ["text"])
     out = df.select(tok(F.col("text")).alias("t")).first()["t"]
     assert "Hello" in out and "," in out
+
+
+def test_lsh_band_codes_use_arrow_above_codegen_budget(spark):
+    """Regression guard for the janino 64 KB failure: at dim 64 the
+    banded plane projection must run as an Arrow UDF (ArrowEvalPython
+    in the plan), not as an unrolled expression tree that silently
+    de-compiles the whole stage."""
+    from cogie_spark.operators.ann import lsh_band_table
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bt = lsh_band_table(emb, bands=16, rows_per_band=2)
+    plan = bt._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan, plan[:500]
+    # and the codes still match the pure-expression form on a few rows
+    from cogie_spark.operators.ann import UNROLL_MAX_DIM, _plane_sign, plane_weights
+    import pyspark.sql.functions as F
+
+    few = emb.limit(5).select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    v = F.col("_v")
+    for b in (0, 7, 15):
+        code = F.lit(0).cast("long")
+        for r in range(2):
+            code = code * 2 + _plane_sign(v, plane_weights(b * 2 + r, 64))
+        expr_codes = {r["vec_id"]: r["c"] for r in few.select("vec_id", code.alias("c")).collect()}
+        arrow_codes = {
+            r["vec_id"]: r["band_hash"]
+            for r in bt.filter(F.col("band_id") == b).join(few.select("vec_id"), "vec_id").collect()
+        }
+        assert expr_codes == arrow_codes, (b, expr_codes, arrow_codes)
+
+
+def test_infer_dim_strict_rejects_ragged(spark):
+    from cogie_spark.operators.ann import infer_dim
+
+    ok = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)], "embedding array<double>")
+    assert infer_dim(ok, strict=True) == 2
+    ragged = spark.createDataFrame([([1.0, 2.0],), ([3.0],)], "embedding array<double>")
+    with pytest.raises(ValueError, match="ragged"):
+        infer_dim(ragged, strict=True)
