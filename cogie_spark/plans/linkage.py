@@ -99,42 +99,57 @@ def run_linkage(
 
     from pyspark import StorageLevel
 
+    # every persist in this run is tracked so callers that invoke the
+    # pipeline repeatedly (streaming micro-batches) can release the
+    # cached partitions at batch end via out["_persisted"] — otherwise
+    # a long-running stream accumulates every past batch's cache
+    persisted: list[DataFrame] = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(df)
+        return df
+
     # the input is scanned by blocking and twice by scoring's feature
     # joins — persist once (spills to disk at scale, never recomputes)
-    all_files = files.persist(StorageLevel.MEMORY_AND_DISK)
+    all_files = _persist(files)
     files = all_files
 
     file2rep = None
     if cfg.exact_prededup:
         # exact dedup (SURVEY.md §2.7 U2): one representative per
-        # distinct content; the expensive pipeline runs on reps only
+        # distinct content; the expensive pipeline runs on reps only.
+        # min_by over the full row struct keeps this to ONE shuffle of
+        # the input (the groupBy) — the previous groupBy-then-join form
+        # shuffled the full table a second time for the join-back.
         sha = cfg.sha_col if cfg.sha_col in files.columns else None
         sha_expr = F.col(sha) if sha else F.sha2(F.col(cfg.content_col), 256)
         keyed = all_files.withColumn("_sha", sha_expr)
-        reps = keyed.groupBy("_sha").agg(F.min(cfg.id_col).alias("_rep_id"))
-        file2rep = (
+        data_cols = [c for c in keyed.columns if c != "_sha"]
+        reps_rows = keyed.groupBy("_sha").agg(
+            F.expr(
+                f"min_by(struct({', '.join(data_cols)}), {cfg.id_col})"
+            ).alias("_r"),
+            F.min(cfg.id_col).alias("_rep_id"),
+        )
+        file2rep = _persist(
             keyed.select(cfg.id_col, "_sha")
-            .join(reps, "_sha")
+            .join(reps_rows.select("_sha", "_rep_id"), "_sha")
             .select(cfg.id_col, F.col("_rep_id"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        files = (
-            keyed.join(
-                reps.withColumnRenamed("_rep_id", cfg.id_col), ["_sha", cfg.id_col], "inner"
-            )
-            .drop("_sha")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        files = _persist(reps_rows.select("_r.*"))
 
-    sigs = signature_table(
-        files,
-        id_col=cfg.id_col,
-        content_col=cfg.content_col,
-        key_cols=cfg.key_cols,
-        num_perm=cfg.num_perm,
-        shingle_k=cfg.shingle_k,
-        mode=cfg.signature_mode,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _persist(
+        signature_table(
+            files,
+            id_col=cfg.id_col,
+            content_col=cfg.content_col,
+            key_cols=cfg.key_cols,
+            num_perm=cfg.num_perm,
+            shingle_k=cfg.shingle_k,
+            mode=cfg.signature_mode,
+        )
+    )
     blocks = bands_from_signatures(
         sigs,
         id_col=cfg.id_col,
@@ -169,8 +184,8 @@ def run_linkage(
             ),
             "_sid",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    side = _persist(side)
     pairs = (
         pairs.join(
             side.select(
@@ -200,7 +215,7 @@ def run_linkage(
     else:
         # downstream stages (scoring, CC seed) and caller actions each
         # reference the pair table — never recompute the self-join
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = _persist(pairs)
 
     from cogie_spark.operators.scoring import corpus_idf, score_features
 
@@ -222,7 +237,7 @@ def run_linkage(
         scored = checkpoint.commit("scored", scored)
         checkpoint.log_metric("scoring", 0, "pairs_scored", float(scored.count()))
     else:
-        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        scored = _persist(scored)
 
     edges = match_edges(scored, threshold=cfg.threshold)
     comp = connected_components(edges, max_iter=cfg.cc_max_iter, checkpoint=checkpoint)
@@ -259,6 +274,9 @@ def run_linkage(
         "scored": scored,
         "edges": edges,
         "clusters": clusters,
+        # cached inputs of THIS run; callers that loop (streaming) must
+        # unpersist these once the run's outputs are materialized
+        "_persisted": persisted,
     }
 
 

@@ -219,13 +219,17 @@ def incremental_link_batch(
         else:
             links = spark.createDataFrame([], "file_id string, cluster_id string")
 
-        # within-batch clustering of the still-unassigned rows
+        # within-batch clustering of the still-unassigned rows; the
+        # inner pipeline's cached inputs are batch-scoped too — release
+        # them with ours once the delta is written
         unassigned = batch.join(links, "file_id", "left_anti")
         from cogie_spark.plans.linkage import LinkageConfig, run_linkage
 
-        intra = run_linkage(
+        intra_out = run_linkage(
             unassigned, LinkageConfig(threshold=threshold, num_perm=num_perm, bands=bands)
-        )["clusters"]
+        )
+        to_unpersist.extend(intra_out.get("_persisted", []))
+        intra = intra_out["clusters"]
 
         assignments = links.unionByName(intra)
         out = batch.select("file_id", "lang", "content").join(assignments, "file_id")
