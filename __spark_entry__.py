@@ -34,7 +34,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _flagship_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return entry(spark)
+    """Flagship clustering, summarized as the cluster-size histogram
+    (cluster_size, n_files, n_clusters) so the driver can hash-verify it
+    against a frozen VALUES-CTE oracle (VERDICT r3 'Next round' #1) —
+    the raw per-file assignment (sha256 cluster ids) stays the smoke
+    checked ``entry()`` output, and q41's pairwise F1 pins the actual
+    cluster structure pair-by-pair."""
+    return (
+        entry(spark)
+        .groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+    )
 
 
 def _flagship_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,6 +149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from cogie_spark.fixtures.expected_oracles import EXPECTED_ORACLES
     from cogie_spark.queries import ORACLES
 
-    return dict(ORACLES)
+    # the flagship / rows-only queries are pure functions of fixed seeds,
+    # so their DuckDB twins are frozen VALUES CTEs (generated by
+    # scripts/gen_expected_oracles.py, same pattern as q33_tag_decode) —
+    # the driver hash-verifies the pipeline instead of only executing it
+    out = dict(EXPECTED_ORACLES)
+    out.update(ORACLES)
+    return out
