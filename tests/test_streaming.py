@@ -152,7 +152,9 @@ def test_stream_wiring_availablenow(spark):
     q.awaitTermination(300)
     members = spark.read.parquet(f"{state_dir}/members_delta_*")
     assert members.count() == files.count()
-    assert set(members.columns) == {"file_id", "cluster_id", "lang", "content", "sig"}
+    assert set(members.columns) == {
+        "file_id", "cluster_id", "lang", "content", "sig", "src_batch"
+    }
 
 
 def test_corrupt_state_raises_not_relinks(spark):
@@ -172,3 +174,139 @@ def test_corrupt_state_raises_not_relinks(spark):
     batch = code_files(spark, n_groups=3, seed=42)
     with pytest.raises(Exception):
         incremental_link_batch(batch, state, batch_id=1).count()
+
+
+def _slices(spark, n_groups, n_batches, seed=42):
+    """Deterministic round-robin split of the fixture into micro-batches."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    files = code_files(spark, n_groups=n_groups, seed=seed)
+    w = Window.orderBy("file_id")
+    numbered = files.withColumn("_rn", FF.row_number().over(w)).cache()
+    return [
+        numbered.filter(FF.col("_rn") % n_batches == i).drop("_rn")
+        for i in range(n_batches)
+    ]
+
+
+def test_compaction_bounds_manifest_and_preserves_assignments(spark):
+    """VERDICT r3 #3: with compact_every=K the manifest never exceeds K
+    delta entries (steady-state read = 1 base + <=K deltas, not one dir
+    per historical batch), and assignments are identical to an
+    uncompacted run of the same batches."""
+    import json
+
+    import cogie_spark.streaming.incremental as inc_mod
+
+    batches = _slices(spark, n_groups=10, n_batches=6)
+    compacted = TableIO(spark, tempfile.mkdtemp(prefix="cogie_compact_"))
+    plain = TableIO(spark, tempfile.mkdtemp(prefix="cogie_plain_"))
+    for i, b in enumerate(batches):
+        incremental_link_batch(b, compacted, batch_id=i, compact_every=2)
+        manifest = json.loads((compacted.base / "_state_manifest.json").read_text())
+        assert len(manifest["batches"]) <= 2, f"batch {i}: manifest grew past K"
+        incremental_link_batch(b, plain, batch_id=i, compact_every=0)
+
+    manifest = json.loads((compacted.base / "_state_manifest.json").read_text())
+    assert manifest.get("base"), "six batches at K=2 must have compacted"
+    got_c = {
+        (r["file_id"], r["cluster_id"])
+        for r in spark.read.parquet(
+            *inc_mod._state_member_paths(compacted, manifest)
+        ).select("file_id", "cluster_id").collect()
+    }
+    plain_manifest = json.loads((plain.base / "_state_manifest.json").read_text())
+    assert len(plain_manifest["batches"]) == 6 and not plain_manifest.get("base")
+    got_p = {
+        (r["file_id"], r["cluster_id"])
+        for r in spark.read.parquet(
+            *inc_mod._state_member_paths(plain, plain_manifest)
+        ).select("file_id", "cluster_id").collect()
+    }
+    assert got_c == got_p, "compaction changed assignments"
+    # superseded delta dirs were removed after the publish commit point
+    live = {manifest["base"]["members"], manifest["base"]["bands"]} | {
+        d for b in manifest["batches"] for d in (b["members"], b["bands"])
+    }
+    on_disk = {d.name for d in compacted.base.iterdir() if d.is_dir()}
+    assert on_disk == live, f"orphaned dirs: {on_disk - live}"
+
+
+def test_retry_is_idempotent(spark):
+    """ADVICE r3 #1: foreachBatch is at-least-once — re-delivering an
+    already-committed batch_id must not append its delta twice, and must
+    return the committed assignments (also for batches already folded
+    into the compacted base)."""
+    import json
+
+    batches = _slices(spark, n_groups=8, n_batches=3)
+    state = TableIO(spark, tempfile.mkdtemp(prefix="cogie_retry_"))
+    a0 = incremental_link_batch(batches[0], state, batch_id=0, compact_every=0)
+    n0 = a0.count()
+    incremental_link_batch(batches[1], state, batch_id=1, compact_every=0)
+
+    committed = {
+        (r["file_id"], r["cluster_id"])
+        for r in state.read("members_delta_00001").select("file_id", "cluster_id").collect()
+    }
+    retry = incremental_link_batch(batches[1], state, batch_id=1, compact_every=0)
+    assert {(r["file_id"], r["cluster_id"]) for r in retry.collect()} == committed
+    manifest = json.loads((state.base / "_state_manifest.json").read_text())
+    assert [b["batch_id"] for b in manifest["batches"]] == [0, 1]
+
+    # batch 2 with compact_every=2 folds everything into a base; a retry
+    # of batch 0 must now answer from the base via src_batch provenance
+    incremental_link_batch(batches[2], state, batch_id=2, compact_every=2)
+    manifest = json.loads((state.base / "_state_manifest.json").read_text())
+    assert manifest.get("base") and manifest["compacted_through"] == 2
+    retry0 = incremental_link_batch(batches[0], state, batch_id=0, compact_every=2)
+    assert retry0.count() == n0
+    manifest2 = json.loads((state.base / "_state_manifest.json").read_text())
+    assert manifest2 == manifest, "retry of a compacted batch mutated the manifest"
+
+
+def test_compaction_crash_before_publish_keeps_state_readable(spark):
+    """Crash between base write and manifest publish: the old manifest
+    (and every dir it references) stays the committed truth; the next
+    compaction succeeds with a fresh generation."""
+    import json
+
+    import pytest
+
+    import cogie_spark.streaming.incremental as inc_mod
+
+    batches = _slices(spark, n_groups=8, n_batches=3)
+    state = TableIO(spark, tempfile.mkdtemp(prefix="cogie_crash_"))
+    for i, b in enumerate(batches[:2]):
+        incremental_link_batch(b, state, batch_id=i, compact_every=0)
+    before = json.loads((state.base / "_state_manifest.json").read_text())
+    total = spark.read.parquet(
+        *inc_mod._state_member_paths(state, before)
+    ).count()
+
+    orig = inc_mod._publish_manifest
+
+    def exploding(st, manifest):
+        raise RuntimeError("simulated crash at the commit point")
+
+    inc_mod._publish_manifest = exploding
+    try:
+        with pytest.raises(RuntimeError):
+            inc_mod._compact_state(spark, state, dict(before))
+    finally:
+        inc_mod._publish_manifest = orig
+
+    after = json.loads((state.base / "_state_manifest.json").read_text())
+    assert after == before, "crashed compaction mutated the committed manifest"
+    assert spark.read.parquet(
+        *inc_mod._state_member_paths(state, after)
+    ).count() == total
+
+    # the next batch triggers a clean compaction over the same deltas
+    incremental_link_batch(batches[2], state, batch_id=2, compact_every=2)
+    final = json.loads((state.base / "_state_manifest.json").read_text())
+    assert final.get("base") and not final["batches"]
+    assert spark.read.parquet(
+        str(state.base / final["base"]["members"])
+    ).count() >= total
