@@ -322,8 +322,12 @@ def cosine_arrow():
 
     @pandas_udf(DoubleType())
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        # null inputs -> NULL, not NaN: the dim<=32 expression path
+        # yields NULL for a null array, and NaN sorts ABOVE every real
+        # value in a desc() ranking window — a null embedding must not
+        # rank first under only one backend (ADVICE r3 #2)
         mask = a.notna() & b.notna()
-        out = np.full(len(a), np.nan, dtype=np.float64)
+        out = np.full(len(a), None, dtype=object)
         if mask.any():
             A = np.stack(a[mask].to_numpy())
             B = np.stack(b[mask].to_numpy())
@@ -338,7 +342,7 @@ def cosine_arrow():
                 nb += y * y
             with np.errstate(divide="ignore", invalid="ignore"):
                 out[mask.to_numpy()] = dot / np.sqrt(na * nb)
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
     return _cos
 

@@ -111,20 +111,30 @@ def _band_codes_arrow(bands: int, rows_per_band: int, dim: int):
 
     @pandas_udf(ArrayType(LongType()))
     def codes(v: pd.Series) -> pd.Series:
-        M = np.stack(v.to_numpy())  # n × dim float64 (fixed-dim contract)
-        n = M.shape[0]
-        S = np.zeros((n, n_planes), dtype=np.float64)
-        for i in range(dim):  # sequential: matches the unrolled sum order
-            S += M[:, i, None] * W[None, :, i]
-        bits = (S > 0).astype(np.int64)
-        # combine bits row-major per band: code_b = sum_r bit[b*rpb+r] << (rpb-1-r)
-        out = np.zeros((n, bands), dtype=np.int64)
-        for b in range(bands):
-            code = np.zeros(n, dtype=np.int64)
-            for r in range(rows_per_band):
-                code = code * 2 + bits[:, b * rows_per_band + r]
-            out[:, b] = code
-        return pd.Series(list(out))
+        # empty batch / null vectors: mirror cosine_arrow's guards — a
+        # single null embedding must propagate as a NULL code array, not
+        # fail the whole job in np.stack (ADVICE r3 #3)
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mask = v.notna()
+        out = np.full(len(v), None, dtype=object)
+        if mask.any():
+            M = np.stack(v[mask].to_numpy())  # n × dim float64 (fixed-dim contract)
+            n = M.shape[0]
+            S = np.zeros((n, n_planes), dtype=np.float64)
+            for i in range(dim):  # sequential: matches the unrolled sum order
+                S += M[:, i, None] * W[None, :, i]
+            bits = (S > 0).astype(np.int64)
+            # combine bits row-major per band: code_b = sum_r bit[b*rpb+r] << (rpb-1-r)
+            band_codes = np.zeros((n, bands), dtype=np.int64)
+            for b in range(bands):
+                code = np.zeros(n, dtype=np.int64)
+                for r in range(rows_per_band):
+                    code = code * 2 + bits[:, b * rows_per_band + r]
+                band_codes[:, b] = code
+            for j, row in zip(np.flatnonzero(mask.to_numpy()), band_codes):
+                out[j] = row
+        return pd.Series(out, dtype=object)
 
     return codes
 

@@ -88,11 +88,20 @@ def fbeta_by_class(
     golds = df.groupBy(F.col(target).alias("label")).agg(F.count("*").alias("true_n"))
     j = preds.join(golds, "label", "full_outer")
     if label_domain is not None:
+        # cast the domain to the fact table's label type: a str()-coerced
+        # domain against a numeric label column would compare string vs
+        # numeric in the full_outer join and duplicate every class row,
+        # skewing the macro average (ADVICE r3 #5)
+        label_type = dict(df.dtypes)[pred]
         if not isinstance(label_domain, DataFrame):
             label_domain = df.sparkSession.createDataFrame(
                 [(str(x),) for x in label_domain], "label string"
             )
-        dom = label_domain.select(F.col(label_domain.columns[0]).alias("label")).distinct()
+        dom = (
+            label_domain.select(
+                F.col(label_domain.columns[0]).cast(label_type).alias("label")
+            ).distinct()
+        )
         j = j.join(dom, "label", "full_outer")
     j = j.select(
         "label",

@@ -260,3 +260,66 @@ def test_infer_dim_strict_rejects_ragged(spark):
     ragged = spark.createDataFrame([([1.0, 2.0],), ([3.0],)], "embedding array<double>")
     with pytest.raises(ValueError, match="ragged"):
         infer_dim(ragged, strict=True)
+
+
+def test_arrow_cosine_null_embedding_is_null_not_nan(spark):
+    """ADVICE r3 #2: both cosine backends must agree that a null input
+    yields NULL — NaN would sort ABOVE every real value in the desc()
+    top-k window and a null embedding would rank first."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cogie_spark.functions.similarity import cosine_native
+
+    dim = 40  # > the 32-dim unroll cap -> Arrow backend
+    rows = [("a", [1.0] * dim), ("b", [0.5] * dim), ("n", None)]
+    df = spark.createDataFrame(rows, "id string, v array<double>")
+    probe = [1.0] * dim
+    out = df.select(
+        "id", cosine_native(F.col("v"), F.array(*[F.lit(x) for x in probe]), dim=dim).alias("cos")
+    ).collect()
+    got = {r["id"]: r["cos"] for r in out}
+    assert got["n"] is None, f"null embedding produced {got['n']!r}, not NULL"
+    assert abs(got["a"] - 1.0) < 1e-9
+    # NULL ranks LAST under desc(), same as the expression path
+    ranked = (
+        df.select("id", cosine_native(F.col("v"), F.array(*[F.lit(x) for x in probe]), dim=dim).alias("cos"))
+        .orderBy(F.desc("cos"))
+        .collect()
+    )
+    assert ranked[-1]["id"] == "n"
+
+
+def test_band_codes_arrow_null_and_empty_safe(spark):
+    """ADVICE r3 #3: a null embedding must propagate as a NULL bucket
+    through the Arrow band-code path instead of failing np.stack."""
+    from pyspark.sql import functions as F
+
+    from cogie_spark.operators.ann import lsh_buckets
+
+    dim = 64
+    rows = [(f"v{i}", [float((i * 7 + d) % 5) - 2.0 for d in range(dim)]) for i in range(6)]
+    rows.append(("vnull", None))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    # n_bits*dim = 64*64 > CODEGEN_NODE_BUDGET -> Arrow path
+    got = lsh_buckets(df, n_bits=64, dim=dim).collect()
+    by_id = {r["vec_id"]: r["bucket"] for r in got}
+    assert by_id["vnull"] is None
+    assert all(by_id[f"v{i}"] is not None for i in range(6))
+
+
+def test_fbeta_label_domain_numeric_labels(spark):
+    """ADVICE r3 #5: a list label_domain against a NUMERIC label column
+    must not duplicate class rows via string-vs-int join mismatch."""
+    from cogie_spark.operators.metrics import fbeta_by_class
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (3, 3)], "gold int, pred int"
+    )
+    per = fbeta_by_class(df, "gold", "pred", label_domain=[1, 2, 3, 4])
+    rows = per.collect()
+    labels = sorted(r["label"] for r in rows)
+    assert labels == [1, 2, 3, 4], labels  # one row per class, int-typed
+    by = {r["label"]: r for r in rows}
+    assert by[4]["tp"] == 0 and by[4]["pred_n"] == 0 and by[4]["true_n"] == 0
+    assert by[1]["tp"] == 1 and by[1]["true_n"] == 2 and by[1]["pred_n"] == 1
