@@ -198,15 +198,13 @@ def candidate_pairs(
     from pyspark import StorageLevel
 
     key = [*key_cols, "band_id", "band_hash"]
-    # materialize the block table once: it is referenced by the size
-    # aggregation and both sides of the self-join; recomputing would
-    # re-run the MinHash pass. MEMORY_AND_DISK spills at scale.
+    # materialize the block table once (compressed columnar cache): it
+    # is read by the size aggregation AND the pair aggregation, and the
+    # A/B leg measurements showed recomputing the band explode + sizes
+    # shuffle twice costs more than the cache round-trip at both core
+    # counts. MEMORY_AND_DISK spills at scale.
     blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
-    # sizes is re-read by the max pre-check AND the keep/dropped splits —
-    # persist the (1 row per block) table so the agg runs once
-    sizes = blocks.groupBy(*key).agg(F.count("*").alias("block_size")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sizes = blocks.groupBy(*key).agg(F.count("*").alias("block_size"))
 
     # adaptive guardrail: the sizes AGGREGATION is cheap (map-side
     # combined), but joining it back onto the full block table is a
@@ -214,12 +212,18 @@ def candidate_pairs(
     # scalar pre-check skips that join — and the whole salt machinery —
     # whenever no block exceeds the cap (exact-prededup'd corpora hit
     # this path; boilerplate-heavy ones take the guarded path below).
-    max_row = sizes.agg(F.max("block_size").alias("m")).first()
+    from cogie_spark.jobdesc import job_desc
+
+    with job_desc(blocks, "cogie:blocking-size-precheck"):
+        max_row = sizes.agg(F.max("block_size").alias("m")).first()
     max_seen = int(max_row["m"]) if max_row and max_row["m"] is not None else 0
     if max_seen <= max_block_size:
         dropped = sizes.filter(F.lit(False))
         salted = blocks.withColumn("salt", F.lit(0))
     else:
+        # hot-block path: sizes is re-read by the keep/dropped splits
+        # and the salting join — cache the (1 row per block) table here
+        sizes = sizes.persist(StorageLevel.MEMORY_AND_DISK)
         keep = sizes.filter(F.col("block_size") <= max_block_size * salvage_factor)
         dropped = sizes.filter(F.col("block_size") > max_block_size * salvage_factor)
 

@@ -42,7 +42,10 @@ def corpus_idf(
     """
     import math
 
-    n_docs = files.count() or 1
+    from cogie_spark.jobdesc import job_desc
+
+    with job_desc(files, "cogie:idf-ndocs"):
+        n_docs = files.count() or 1
     # IDF is a corpus statistic — estimate it from a deterministic hash
     # sample once the corpus is large (identical idf distribution, ~10x
     # less explode/sort work and a bounded driver collect)
@@ -53,7 +56,13 @@ def corpus_idf(
         k = max(2, n_docs // target_sample)
         src = files.filter(F.pmod(F.xxhash64(F.col(content_col)), F.lit(k)) == 0)
         denom = max(n_docs // k, 1)
-    df_rows = (
+    with job_desc(files, "cogie:idf-vocab"):
+        df_rows = _collect_idf_rows(src, content_col, max_terms)
+    return {r["t"]: math.log(denom / r["df"]) + 1.0 for r in df_rows}
+
+
+def _collect_idf_rows(src, content_col, max_terms):
+    return (
         src.select(F.explode(F.array_distinct(tokens(content_col))).alias("t"))
         .filter(F.col("t") != "")
         .groupBy("t")
@@ -62,7 +71,6 @@ def corpus_idf(
         .limit(max_terms)
         .collect()
     )
-    return {r["t"]: math.log(denom / r["df"]) + 1.0 for r in df_rows}
 
 
 def score_pairs(

@@ -110,8 +110,15 @@ def run_linkage(
         persisted.append(df)
         return df
 
-    # the input is scanned by blocking and twice by scoring's feature
-    # joins — persist once (spills to disk at scale, never recomputes)
+    from cogie_spark.functions.text import normalize_text
+
+    # the input is scanned by the prededup groupBy and (via file2rep)
+    # the final expansion — persist once (spills to disk at scale).
+    # NOTE (round-4 measurement): a broadcast-semi-join prededup that
+    # avoided shuffling content entirely was built and A/B-measured at
+    # 52s SLOWER @8 and 32s SLOWER @32 than this min_by form on the
+    # 200k-group fixture — the single wide shuffle scales fine here,
+    # while the extra parquet scan + broadcast build are pure overhead.
     all_files = _persist(files)
     files = all_files
 
@@ -171,19 +178,14 @@ def run_linkage(
     # while the cascade keep-ratio is high (measured 0.96 on the code
     # fixture: banding already implies est-Jaccard ≈ threshold), a loss
     # on corpora where banding is much looser than the prefilter.
-    from cogie_spark.functions.text import normalize_text
-
-    side = (
-        sigs.select(F.col(cfg.id_col).alias("_sid"), "sig")
-        .join(
-            files.select(
-                F.col(cfg.id_col).alias("_sid"),
-                F.substring(
-                    normalize_text(cfg.content_col), 1, cfg.feature_chars
-                ).alias("_feat"),
-            ),
-            "_sid",
-        )
+    side = sigs.select(F.col(cfg.id_col).alias("_sid"), "sig").join(
+        files.select(
+            F.col(cfg.id_col).alias("_sid"),
+            F.substring(
+                normalize_text(cfg.content_col), 1, cfg.feature_chars
+            ).alias("_feat"),
+        ),
+        "_sid",
     )
     side = _persist(side)
     pairs = (

@@ -57,6 +57,18 @@ def get_spark(
         # executor's aggregation budget.
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "524288")
     )
+    # ad-hoc conf overrides: COGIE_EXTRA_CONF="k=v;k2=v2" (A/B harness)
+    for kv in filter(None, os.environ.get("COGIE_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
+    # profiling hook: COGIE_EVENT_LOG=<dir> writes the Spark event log
+    # there (job/stage timelines — how the scaling legs are attributed)
+    elog = os.environ.get("COGIE_EVENT_LOG")
+    if elog:
+        os.makedirs(elog, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", elog
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)
