@@ -42,6 +42,7 @@ def minhash_near_duplicates(
     shingle_k: int = 8,
     jaccard_threshold: float = 0.7,
     max_block_size: int = 256,
+    mode: str = "portable",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
 
@@ -53,6 +54,15 @@ def minhash_near_duplicates(
     Default banding is 8 bands x 4 rows: at background similarity ~0.05
     (typical corpora) chance collisions are ~5e-5 per pair, while pairs
     at the 0.9 near-dup level collide with prob 1-(1-0.9^4)^8 = 0.9998.
+
+    ``mode``: the signature hash family (operators/blocking.py).
+    The OUTPUT is family-independent — every emitted pair is verified
+    with exact char-shingle Jaccard, the family only generates
+    candidates — so the ~5x cheaper 'fast' family (word-3gram xxhash64,
+    no per-shingle md5 string round-trip) is safe for throughput paths.
+    Because 'fast' estimates word-gram (not char-shingle) similarity,
+    its cascade floor is widened so borderline true pairs are never
+    pruned before the exact verify.
     """
     from cogie_spark.operators.blocking import (
         bands_from_signatures,
@@ -60,13 +70,13 @@ def minhash_near_duplicates(
         signature_table,
     )
 
-    # signature computed ONCE (explode+min-agg, portable md5 family):
-    # the first 32 perms band (same S-curve as before); all num_perm
-    # perms feed the agreement estimate that guards the exact verify
+    # signature computed ONCE (explode+min-agg): the first num_perm
+    # perms band (same S-curve as before); all est_perm perms feed the
+    # agreement estimate that guards the exact verify
     est_perm = max(num_perm, 64)
     sigs = signature_table(
         df, id_col=id_col, content_col=text_col, key_cols=key_cols,
-        num_perm=est_perm, shingle_k=shingle_k, mode="portable",
+        num_perm=est_perm, shingle_k=shingle_k, mode=mode,
     )
     from pyspark import StorageLevel
 
@@ -82,7 +92,11 @@ def minhash_near_duplicates(
     # below ~1e-7 per true pair, so the exact-verify output set is
     # unchanged — only its cost shrinks
     ss = sigs.select(F.col(id_col), F.col("sig"))
-    est_floor = max(jaccard_threshold - 0.2, 0.0)
+    # 'fast' signatures estimate word-3gram similarity while the
+    # threshold speaks char-shingle Jaccard — widen the cascade margin
+    # so the estimate never prunes a pair the exact verify would keep
+    est_margin = 0.4 if mode == "fast" else 0.2
+    est_floor = max(jaccard_threshold - est_margin, 0.0)
     pairs = (
         pairs.join(ss.withColumnRenamed(id_col, "left_id").withColumnRenamed("sig", "_ls"), "left_id")
         .join(ss.withColumnRenamed(id_col, "right_id").withColumnRenamed("sig", "_rs"), "right_id")

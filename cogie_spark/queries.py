@@ -698,7 +698,7 @@ def q32(spark, sf_dir):
     docs = _docs_with_clones(spark, sf_dir)
     out = minhash_near_duplicates(
         docs, id_col="doc_id", text_col="text", key_cols=("lang",),
-        jaccard_threshold=0.9,
+        jaccard_threshold=0.9, mode="fast",
     )
     return out.select("left_id", "right_id", "jaccard")
 
