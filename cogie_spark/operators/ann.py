@@ -40,6 +40,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast probes x corpus, window top-k.
 
@@ -47,8 +48,11 @@ def brute_force_topk(
     vec_id. Cost is |probes| * |corpus| vector ops, all JVM-side
     (zip_with/aggregate) — the right baseline and the recall oracle for
     the bucketed variant.
+
+    Pass ``dim`` when known: omitting it costs one bounded ``first()``
+    probe job at plan-build time (ann.infer_dim).
     """
-    dim = infer_dim(corpus, vec_col)
+    dim = dim or infer_dim(corpus, vec_col)
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("_pv")
     )
@@ -276,11 +280,16 @@ def bucketed_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     n_bits: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probes only score corpus vectors in the same
     LSH bucket — the sub-linear scale path (candidate recall traded for
-    a |corpus|/2^n_bits expected fan-in per probe)."""
-    dim = infer_dim(corpus, vec_col)
+    a |corpus|/2^n_bits expected fan-in per probe).
+
+    Pass ``dim`` when known: omitting it costs ONE bounded ``first()``
+    probe job here (never two — the inferred width is forwarded to both
+    bucket builds and the cosine)."""
+    dim = dim or infer_dim(corpus, vec_col)
     cb = lsh_buckets(corpus, id_col=id_col, vec_col=vec_col, n_bits=n_bits, dim=dim)
     pb = lsh_buckets(probes, id_col=probe_id_col, vec_col=vec_col, n_bits=n_bits, dim=dim).select(
         F.col("vec_id").alias("probe_id"), "bucket", F.col("embedding").alias("_pv")

@@ -143,22 +143,92 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     scope_col: str | None = None,
+    method: str = "exact",
+    num_perm: int = 32,
+    bands: int = 8,
 ) -> DataFrame:
-    """Exact word n-gram Jaccard over all in-scope pairs (no LSH) —
-    the small-table verifier / oracle twin of minhash_near_duplicates.
-    ``scope_col`` bounds the self-join (e.g. same lang); at scale use
-    the LSH path instead."""
+    """Word n-gram Jaccard pairs.
+
+    ``method='exact'``: brute-force over all in-scope pairs — the
+    small-table verifier / oracle twin of minhash_near_duplicates.
+    ``scope_col`` bounds the self-join (e.g. same lang).
+
+    ``method='banded'`` (VERDICT r3 #7 — the scale path): MinHash-LSH
+    candidate generation over the SAME gram sets (explode -> min-agg ->
+    band -> bucket join via operators/blocking.py, never a cartesian),
+    then the same exact-Jaccard verify on candidates only. Recall
+    follows the banding S-curve (1-(1-s^r)^b; near 1 above s≈0.7 at
+    8x4) — use it for near-dup thresholds; a threshold far below the
+    S-curve knee belongs on the exact path at bounded scope.
+    """
+    toks = tokens(text_col)
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(tokens(text_col)) - F.lit(n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(tokens(text_col), i, n)),
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+    scope_cols = [scope_col] if scope_col else []
     side = df.select(
         F.col(id_col).alias("_id"),
-        *([F.col(scope_col).alias("_scope")] if scope_col else []),
+        *(F.col(c).alias("_scope") for c in scope_cols),
         grams.alias("_g"),
     )
+
+    def _verify(pairs: DataFrame) -> DataFrame:
+        g = side.select("_id", "_g")
+        return (
+            pairs.join(
+                g.withColumnRenamed("_id", "left_id").withColumnRenamed("_g", "_lg"),
+                "left_id",
+            )
+            .join(
+                g.withColumnRenamed("_id", "right_id").withColumnRenamed("_g", "_rg"),
+                "right_id",
+            )
+            .withColumn("inter", F.size(F.array_intersect("_lg", "_rg")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter") / (F.size("_lg") + F.size("_rg") - F.col("inter")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id", "jaccard")
+        )
+
+    if method == "banded":
+        from pyspark import StorageLevel
+
+        from cogie_spark.functions.hashing import MINHASH_P, _perm_coeffs
+        from cogie_spark.operators.blocking import bands_from_signatures
+
+        key_cols = tuple("_scope" for _ in scope_cols)
+        exploded = side.select(
+            "_id", *key_cols, F.explode("_g").alias("_gram")
+        ).select(
+            "_id", *key_cols,
+            F.pmod(F.xxhash64("_gram"), F.lit(1 << 28)).alias("_h"),
+        )
+        aggs = []
+        for i in range(num_perm):
+            a_, b_ = _perm_coeffs(i)
+            aggs.append(
+                F.min((F.lit(a_) * F.col("_h") + F.lit(b_)) % F.lit(MINHASH_P)).alias(f"_m{i}")
+            )
+        sigs = (
+            exploded.groupBy("_id", *key_cols)
+            .agg(*aggs)
+            .select("_id", *key_cols, F.array(*[f"_m{i}" for i in range(num_perm)]).alias("sig"))
+        )
+        side = side.persist(StorageLevel.MEMORY_AND_DISK)
+        blocks = bands_from_signatures(
+            sigs, id_col="_id", key_cols=key_cols, bands=bands,
+            rows_per_band=num_perm // bands,
+        )
+        pairs, _ = candidate_pairs(blocks, id_col="_id", key_cols=key_cols)
+        return _verify(pairs.select("left_id", "right_id"))
+
     a, b = side.alias("a"), side.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     if scope_col:
