@@ -40,8 +40,9 @@ FEATURE_DIM = 16
 def _decode_image(payload: bytes) -> np.ndarray:
     """STUB decode: deterministic fake 'pixel' grid from the bytes.
 
-    Real implementation: PIL.Image.open(io.BytesIO(payload)).
-    Raises on empty payload the way a real decoder raises on garbage.
+    The default decoder — deterministic, dependency-free, and what the
+    frozen q42 oracle expects. Raises on empty payload the way a real
+    decoder raises on garbage.
     """
     if not payload:
         raise ValueError("empty media payload")
@@ -50,14 +51,60 @@ def _decode_image(payload: bytes) -> np.ndarray:
     return rng.reshape(32, 32).astype(np.float32)
 
 
-def extract_features(df: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
+def pil_decoder():
+    """REAL image decode via PIL, built lazily (same optional-dependency
+    gate as functions/text.nltk_tokens_udf — VERDICT r3 #5): grayscale
+    pixel grid as float32, same array contract as the stub, so the
+    downstream featurize/quarantine plumbing is identical either way.
+
+    OPT-IN, never auto-detected: the deterministic stub stays the
+    default so pipeline outputs (and the frozen q42 oracle) do not
+    depend on which libraries happen to be installed.
+    """
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - sandbox has no PIL
+        raise ImportError(
+            "pil_decoder requires the optional 'Pillow' package "
+            "(pip install Pillow). The default deterministic stub "
+            "decoder needs no dependencies."
+        ) from e
+
+    def _decode(payload: bytes) -> np.ndarray:
+        if not payload:
+            raise ValueError("empty media payload")
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.float32)
+
+    return _decode
+
+
+def extract_features(
+    df: DataFrame, batch_bytes: int = 64 << 20, decoder="stub"
+) -> DataFrame:
     """media table -> (media_id, kind, feature: array<float>, decode_error).
 
     One mapInPandas pass; blobs are re-chunked by payload size so a
     single Arrow batch never exceeds ``batch_bytes``. Decode failures
     become rows with decode_error set (never task failures — at 10^12
     rows some blobs WILL be garbage).
+
+    ``decoder``: 'stub' (default — deterministic fake decode),
+    'pil' (real image decode, requires Pillow), or any callable
+    ``bytes -> np.ndarray``. The callable is resolved ON THE DRIVER so
+    a missing optional dependency fails at plan build with a clear
+    ImportError, not inside executor tasks.
     """
+    if decoder == "stub":
+        decode = _decode_image
+    elif decoder == "pil":
+        decode = pil_decoder()
+    elif callable(decoder):
+        decode = decoder
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}: use 'stub', 'pil', or a callable")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,8 +125,8 @@ def extract_features(df: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
         errs: list[str | None] = []
         for payload in pdf["media"]:
             try:
-                img = _decode_image(payload)
-                # 16-bin histogram over the fake pixels — the shape a
+                img = decode(payload)
+                # 16-bin histogram over the pixels — the shape a
                 # real embedding/feature extractor would produce
                 hist, _ = np.histogram(img, bins=FEATURE_DIM, range=(0, 255))
                 total = float(hist.sum()) or 1.0

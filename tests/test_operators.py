@@ -385,3 +385,49 @@ def test_ngram_jaccard_banded_matches_exact_no_cartesian(spark):
 
     plan = banded._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_extract_features_decoder_gate(spark):
+    """VERDICT r3 #5: real decode is opt-in behind a lazy import — the
+    deterministic stub stays the default (so the frozen q42 oracle is
+    environment-independent), decoder='pil' fails at PLAN BUILD with a
+    clear ImportError when Pillow is absent, and any callable decoder
+    flows through the same featurize/quarantine plumbing."""
+    import numpy as np
+    import pytest
+
+    from cogie_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=6)
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        with pytest.raises(ImportError, match="Pillow"):
+            extract_features(media, decoder="pil")
+    else:  # pragma: no cover - sandbox has no PIL
+        rows = extract_features(media, decoder="pil").collect()
+        # synthetic payloads are not valid images: every non-empty row
+        # must be quarantined, not fail the task
+        assert all(r["decode_error"] is not None for r in rows)
+
+    # a custom "real" decoder (constant 4x4 image) exercises the same
+    # plumbing: schema identical, features normalized, empties quarantined
+    def fake_real(payload: bytes) -> np.ndarray:
+        if not payload:
+            raise ValueError("empty media payload")
+        return np.full((4, 4), 128.0, dtype=np.float32)
+
+    rows = extract_features(media, decoder=fake_real).collect()
+    ok = [r for r in rows if r["decode_error"] is None]
+    assert ok and all(abs(sum(r["feature"]) - 1.0) < 1e-9 for r in ok)
+    bad = [r for r in rows if r["decode_error"] is not None]
+    assert all(r["feature"] is None for r in bad)
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        extract_features(media, decoder="librosa")
