@@ -128,12 +128,19 @@ def score_features(
     """
     w_jw, w_ts, w_tf = weights
     tf_cos = tfidf_cosine_udf(idf)
-    # the scorers are CPU-bound per ROW; AQE coalesces this small-BYTES
-    # shuffle to a couple of partitions, which would serialize the
-    # Arrow-batched UDF stage. Spread it across the cluster explicitly.
-    n_part = max(joined.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    # the scorers are CPU-bound per ROW, so the stage must be spread
+    # across every core — but a repartition here shuffles the biggest
+    # relation in the pipeline (pairs + both feature windows). Only pay
+    # that shuffle when the incoming partitioning would actually starve
+    # the UDF stage (AQE coalesces small-BYTES shuffles to 1-2
+    # partitions); when the upstream join already provides >= one
+    # partition per core, score in place.
+    cores = joined.sparkSession.sparkContext.defaultParallelism
+    n_have = joined.rdd.getNumPartitions()
+    if n_have < max(cores, 8):
+        joined = joined.repartition(max(cores * 2, 8))
     return (
-        joined.repartition(n_part)
+        joined
         .withColumn(
             "jw",
             jaro_winkler(
