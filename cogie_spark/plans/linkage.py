@@ -144,6 +144,12 @@ def run_linkage(
             .join(reps_rows.select("_sha", "_rep_id"), "_sha")
             .select(cfg.id_col, F.col("_rep_id"))
         )
+        # NOTE (round-4 A/B): replacing this persist with a lazy
+        # localCheckpoint — to truncate lineage and cut the multi-second
+        # Catalyst re-planning of the scan→min_by tree per downstream
+        # query — measured 12 s SLOWER at bench scale: the RDD-row cache
+        # loses the InMemoryRelation's columnar compression and column
+        # pruning, which cost more than the planning it saved.
         files = _persist(reps_rows.select("_r.*"))
 
     sigs = _persist(

@@ -695,7 +695,9 @@ def q32(spark, sf_dir):
     16 bands x 2 rows is 1 - (1-0.81)^16 ≈ 1-4e-12, so the sets match.
     (The testdata has planted near-dup documents — the clones union
     adds known jaccard-1.0 pairs on top.)"""
-    docs = _docs_with_clones(spark, sf_dir)
+    # the near-dup operator reads its input twice (signature pass +
+    # exact-verify semi-join) — persist the scan+union once
+    docs = _docs_with_clones(spark, sf_dir).persist()
     out = minhash_near_duplicates(
         docs, id_col="doc_id", text_col="text", key_cols=("lang",),
         jaccard_threshold=0.9, mode="fast",
