@@ -310,3 +310,36 @@ def test_compaction_crash_before_publish_keeps_state_readable(spark):
     assert spark.read.parquet(
         str(state.base / final["base"]["members"])
     ).count() >= total
+
+
+def test_stream_wiring_with_compaction(spark):
+    """Two availableNow waves through the same checkpoint with
+    compact_every=1: state must end fully compacted into a base
+    generation and cover every input row exactly once."""
+    import json
+    import pathlib
+    import tempfile
+
+    from cogie_spark.streaming.incremental import start_incremental_stream
+
+    src = tempfile.mkdtemp(prefix="stream_src2_")
+    state_dir = tempfile.mkdtemp(prefix="stream_state2_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt2_")
+    files = code_files(spark, n_groups=6, seed=42).cache()
+
+    files.filter("member_idx = 0").write.mode("append").parquet(src)
+    q = start_incremental_stream(spark, src, state_dir, ckpt, compact_every=1)
+    q.awaitTermination(300)
+    files.filter("member_idx > 0").write.mode("append").parquet(src)
+    q = start_incremental_stream(spark, src, state_dir, ckpt, compact_every=1)
+    q.awaitTermination(300)
+
+    manifest = json.loads(
+        (pathlib.Path(state_dir) / "_state_manifest.json").read_text()
+    )
+    assert manifest.get("base") and not manifest["batches"]
+    base = spark.read.parquet(f"{state_dir}/{manifest['base']['members']}")
+    assert base.count() == files.count()
+    assert base.select("file_id").distinct().count() == files.count()
+    # cluster count equals group count: wave-2 duplicates joined wave-1
+    assert base.select("cluster_id").distinct().count() == 6
