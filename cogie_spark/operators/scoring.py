@@ -83,6 +83,7 @@ def score_pairs(
     ts_chars: int = 512,
     weights: tuple[float, float, float] = (0.2, 0.5, 0.3),
     idf: dict[str, float] | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Join pair ids to features and compute the blended score.
 
@@ -106,7 +107,12 @@ def score_pairs(
         feats.withColumnRenamed("_fid", "left_id").withColumnRenamed("_feat", "_lf"), "left_id"
     ).join(feats.withColumnRenamed("_fid", "right_id").withColumnRenamed("_feat", "_rf"), "right_id")
     return score_features(
-        joined, jw_chars=jw_chars, ts_chars=ts_chars, weights=weights, idf=idf
+        joined,
+        jw_chars=jw_chars,
+        ts_chars=ts_chars,
+        weights=weights,
+        idf=idf,
+        partitions=partitions,
     )
 
 
@@ -116,6 +122,7 @@ def score_features(
     ts_chars: int = 512,
     weights: tuple[float, float, float] = (0.2, 0.5, 0.3),
     idf: dict[str, float] | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Score a pair table that already carries its feature columns
     (_lf, _rf) — the join-free half of :func:`score_pairs`.
@@ -125,20 +132,32 @@ def score_features(
     filter) should attach features in the SAME joins and call this
     directly: every avoided pair-table shuffle is the dominant cost at
     10^12-pair scale.
+
+    ``partitions`` controls the pre-scorer spread WITHOUT probing the
+    plan (a ``joined.rdd.getNumPartitions()`` probe under AQE finalizes
+    the adaptive plan and can execute the upstream join shuffles at
+    plan-build time — results a later action's fresh QueryExecution
+    does not reuse, i.e. a hidden double execution for any caller whose
+    pair table is not persisted):
+
+    - ``None`` (default): repartition to ``max(cores*2, 8)``. Safe for
+      public callers — the scorers are CPU-bound per row and AQE
+      coalesces small-BYTES shuffles to 1-2 partitions, which would
+      serialize the UDF stage; one extra pair-table shuffle is cheaper
+      than a single-core scorer stage.
+    - ``0``: score in place. For callers (run_linkage) that KNOW the
+      upstream partitioning already feeds every core — skipping the
+      shuffle of the pipeline's biggest relation was A/B-measured a
+      net win at bench scale.
+    - ``n > 0``: repartition to exactly ``n``.
     """
     w_jw, w_ts, w_tf = weights
     tf_cos = tfidf_cosine_udf(idf)
-    # the scorers are CPU-bound per ROW, so the stage must be spread
-    # across every core — but a repartition here shuffles the biggest
-    # relation in the pipeline (pairs + both feature windows). Only pay
-    # that shuffle when the incoming partitioning would actually starve
-    # the UDF stage (AQE coalesces small-BYTES shuffles to 1-2
-    # partitions); when the upstream join already provides >= one
-    # partition per core, score in place.
-    cores = joined.sparkSession.sparkContext.defaultParallelism
-    n_have = joined.rdd.getNumPartitions()
-    if n_have < max(cores, 8):
+    if partitions is None:
+        cores = joined.sparkSession.sparkContext.defaultParallelism
         joined = joined.repartition(max(cores * 2, 8))
+    elif partitions > 0:
+        joined = joined.repartition(partitions)
     return (
         joined
         .withColumn(

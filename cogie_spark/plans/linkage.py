@@ -234,12 +234,29 @@ def run_linkage(
         idf = files.sparkSession.sparkContext.broadcast(
             corpus_idf(files, content_col=cfg.content_col, max_terms=cfg.idf_max_terms)
         )
+    # pre-scorer spread decision, made HERE (not inside score_features,
+    # which never probes the plan — see its docstring): the pair table
+    # at this point is persisted or checkpoint-committed, so probing its
+    # partition count is attributable to this pipeline and any adaptive
+    # stages it finalizes feed the cache the downstream stages (scoring,
+    # CC seed, caller actions) all read anyway. Skip the scorer-side
+    # repartition — a shuffle of the pipeline's biggest relation —
+    # whenever the upstream join already feeds every core (A/B-measured
+    # net win at bench scale; AQE can coalesce small-BYTES shuffles to
+    # 1-2 partitions, which would serialize the CPU-bound UDF stage).
+    from cogie_spark.jobdesc import job_desc
+
+    cores = files.sparkSession.sparkContext.defaultParallelism
+    with job_desc(pairs, "cogie:pairs-partition-probe"):
+        n_have = pairs.rdd.getNumPartitions()
+    scorer_partitions = 0 if n_have >= max(cores, 8) else max(cores * 2, 8)
     scored = score_features(
         pairs,
         jw_chars=cfg.jw_chars,
         ts_chars=cfg.ts_chars,
         weights=cfg.weights,
         idf=idf,
+        partitions=scorer_partitions,
     )
     if checkpoint is not None:
         scored = checkpoint.commit("scored", scored)

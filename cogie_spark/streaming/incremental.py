@@ -322,6 +322,9 @@ def incremental_link_batch(
                 .unionByName(old.select("file_id", "lang", "content"))
                 .join(cand_ids, "file_id", "left_semi")
             )
+            # partitions=None: unconditional cores*2 spread — micro-batch
+            # pair tables are small (shuffle is cheap) and the old probe
+            # double-executed the feature join EVERY batch under AQE
             scored = score_pairs(cand, both)
             links = (
                 scored.filter(F.col("score") >= threshold)
