@@ -58,7 +58,12 @@ def _flagship(spark, fixture_path: str):
     from cogie_spark.plans.linkage import LinkageConfig, run_linkage
 
     files = spark.read.parquet(fixture_path)
-    out = run_linkage(files, LinkageConfig())
+    # COGIE_CC_CHECK_EVERY: A/B knob for the CC convergence-check
+    # cadence (VERDICT r4 #7) — default 1 is the recorded behavior
+    cfg = LinkageConfig(
+        cc_check_every=int(os.environ.get("COGIE_CC_CHECK_EVERY", "1"))
+    )
+    out = run_linkage(files, cfg)
     n_clusters = out["clusters"].select("cluster_id").distinct().count()
     n_pairs = out["scored"].count()  # persisted by run_linkage — no recompute
     return n_pairs, n_clusters

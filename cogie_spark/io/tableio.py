@@ -21,28 +21,49 @@ Also maintains the north rule's per-stage observability tables:
 from __future__ import annotations
 
 import json
-import os
 import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cogie_spark.io import fsio
+
+
+def _init_base(spark: SparkSession, base: str):
+    """Scheme-aware base handling: a URI base (``hdfs://``, ``s3a://``)
+    stays a STRING (pathlib corrupts the scheme's double slash) and is
+    created through the Hadoop FS API; a plain local path keeps the
+    pathlib ergonomics tests and local tools rely on."""
+    base_str = str(base).rstrip("/")
+    if "://" in base_str:
+        # includes file:// — running the local FS through the Hadoop
+        # route lets tests exercise the exact object-store code path
+        fsio.mkdirs(spark, base_str)
+        return base_str, base_str
+    p = Path(base_str)
+    p.mkdir(parents=True, exist_ok=True)
+    return p, str(p)
+
 
 class TableIO:
-    """Thin parquet table reader/writer rooted at a base directory."""
+    """Thin parquet table reader/writer rooted at a base directory or
+    Hadoop-compatible URI (``hdfs://``, ``s3a://``, ...)."""
 
     def __init__(self, spark: SparkSession, base: str):
         self.spark = spark
-        self.base = Path(base)
-        self.base.mkdir(parents=True, exist_ok=True)
+        self.base, self._base_str = _init_base(spark, base)
+
+    def path(self, *names: str) -> str:
+        """URI-safe absolute path of a child entry."""
+        return fsio.join(self._base_str, *names)
 
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> str:
-        path = str(self.base / name)
+        path = self.path(name)
         df.write.mode(mode).parquet(path)
         return path
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(str(self.base / name))
+        return self.spark.read.parquet(self.path(name))
 
 
 class CheckpointManager:
@@ -50,24 +71,27 @@ class CheckpointManager:
 
     def __init__(self, spark: SparkSession, base: str):
         self.spark = spark
-        self.base = Path(base)
-        self.base.mkdir(parents=True, exist_ok=True)
+        self.base, self._base_str = _init_base(spark, base)
+
+    def path(self, *names: str) -> str:
+        return fsio.join(self._base_str, *names)
 
     # ------------------------------------------------------------- manifest
-    def _manifest_path(self, stage: str) -> Path:
-        return self.base / stage / "_manifest.json"
+    def _manifest_path(self, stage: str) -> str:
+        return self.path(stage, "_manifest.json")
 
     def _read_manifest(self, stage: str) -> dict:
-        p = self._manifest_path(stage)
-        if not p.exists():
+        txt = fsio.read_text(self.spark, self._manifest_path(stage))
+        if txt is None:
             return {"commits": []}
-        return json.loads(p.read_text())
+        return json.loads(txt)
 
     def _publish(self, stage: str, manifest: dict) -> None:
-        p = self._manifest_path(stage)
-        tmp = p.with_suffix(".tmp")
-        tmp.write_text(json.dumps(manifest, indent=1))
-        os.replace(tmp, p)  # atomic on POSIX — the "commit"
+        # write-temp + rename through the Hadoop FS API — see
+        # fsio.write_text_atomic for the per-FS atomicity contract
+        fsio.write_text_atomic(
+            self.spark, self._manifest_path(stage), json.dumps(manifest, indent=1)
+        )
 
     # --------------------------------------------------------------- commits
     def commit(
@@ -82,9 +106,9 @@ class CheckpointManager:
         Returning the re-read frame truncates lineage (the parquet scan
         replaces the upstream plan) — required for iterative algorithms.
         """
-        snap_dir = self.base / stage / f"snap_{iteration:05d}"
-        df.write.mode("overwrite").parquet(str(snap_dir))
-        rows = self.spark.read.parquet(str(snap_dir)).count()
+        snap_dir = self.path(stage, f"snap_{iteration:05d}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        rows = self.spark.read.parquet(snap_dir).count()
         manifest = self._read_manifest(stage)
         manifest["commits"].append(
             {
@@ -131,11 +155,24 @@ class CheckpointManager:
         )
 
     def _append_jsonl(self, fname: str, rec: dict) -> None:
-        with open(self.base / fname, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        # metrics/lineage are append-only logs. POSIX append is the fast
+        # local path; object stores have no append, so URI bases write
+        # one small immutable object per record under a log dir — both
+        # shapes read back with the same spark.read.json glob.
+        if isinstance(self.base, Path):
+            with open(self.base / fname, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        else:
+            rec_name = f"{fname}.d/rec_{time.time_ns():020d}.json"
+            fsio.write_text_atomic(self.spark, self.path(rec_name), json.dumps(rec))
+
+    def _log_df(self, fname: str) -> DataFrame:
+        if isinstance(self.base, Path):
+            return self.spark.read.json(self.path(fname))
+        return self.spark.read.json(self.path(f"{fname}.d"))
 
     def metrics_df(self) -> DataFrame:
-        return self.spark.read.json(str(self.base / "metrics.jsonl"))
+        return self._log_df("metrics.jsonl")
 
     def lineage_df(self) -> DataFrame:
-        return self.spark.read.json(str(self.base / "lineage.jsonl"))
+        return self._log_df("lineage.jsonl")

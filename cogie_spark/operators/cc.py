@@ -70,6 +70,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     checkpoint=None,
+    check_every: int = 1,
 ) -> DataFrame:
     """Edge list (left_id, right_id) -> (file_id, cluster_id).
 
@@ -81,6 +82,16 @@ def connected_components(
     ``checkpoint``: optional CheckpointManager; when set, each iteration's
     edge set is committed as a resumable snapshot, and a restarted call
     continues from the last committed iteration.
+
+    ``check_every``: convergence-check cadence (VERDICT r4 #7). 1 =
+    fingerprint every round (default). k>1 = after round 3, rounds not
+    on the cadence materialize through an EAGER local checkpoint (the
+    per-round barrier is non-negotiable — composing star rounds without
+    one recomputes the earlier round ~4x, the measured-slower r4
+    batching revert) and only cadence rounds pay the fingerprint
+    aggregation + driver collect. Safe: the potential function is
+    non-increasing, so fingerprints equal k rounds apart imply the
+    fixed point was reached, and extra rounds are idempotent.
     """
     cur = edges.select(
         F.least("left_id", "right_id").alias("dst"),
@@ -110,26 +121,37 @@ def connected_components(
     # than the one tiny fingerprint job the batching saves. The lazy-
     # checkpoint fold below already reduces each round to ONE job.
     prev_fp = None
+    from cogie_spark.jobdesc import job_desc
+
     for it in range(start_iter, max_iter):
         cur = _small_star(_large_star(cur))
+        do_check = check_every <= 1 or it < 3 or (it - 3) % check_every == 0
         # truncate lineage every round — iterative joins otherwise build
         # an exponentially deep plan that stalls the optimizer
         if checkpoint is not None:
+            # commit() materializes (it counts the snapshot): the
+            # barrier exists whether or not this round fingerprints
             cur = checkpoint.commit("cc_edges", cur, iteration=it + 1)
         else:
-            # LAZY checkpoint: the fingerprint aggregate below is the
-            # materializing action, so each sync runs ONE job (compute
-            # + checkpoint + convergence stats) instead of an eager
-            # materialization job followed by a fingerprint job — the
-            # per-iteration driver constant halves (VERDICT r2 #6)
-            cur = cur.localCheckpoint(eager=False)
-        from cogie_spark.jobdesc import job_desc
-
-        with job_desc(cur, f"cogie:cc-round-{it}"):
-            fp = _fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+            # LAZY checkpoint on cadence rounds: the fingerprint
+            # aggregate below is the materializing action, so each sync
+            # runs ONE job (compute + checkpoint + convergence stats)
+            # instead of an eager materialization job followed by a
+            # fingerprint job — the per-iteration driver constant
+            # halves (VERDICT r2 #6). Off-cadence rounds keep the
+            # barrier as an EAGER checkpoint — one job, no fingerprint
+            # scan and no driver aggregation round-trip.
+            if do_check:
+                cur = cur.localCheckpoint(eager=False)
+            else:
+                with job_desc(cur, f"cogie:cc-round-{it}-nocheck"):
+                    cur = cur.localCheckpoint(eager=True)
+        if do_check:
+            with job_desc(cur, f"cogie:cc-round-{it}"):
+                fp = _fingerprint(cur)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
 
     # converged: every node points at its component minimum
     labels = cur.groupBy("src").agg(F.min("dst").alias("cluster_id")).select(

@@ -146,6 +146,7 @@ def ngram_jaccard_pairs(
     method: str = "exact",
     num_perm: int = 32,
     bands: int = 8,
+    max_block_size: int = 64,
 ) -> DataFrame:
     """Word n-gram Jaccard pairs.
 
@@ -160,6 +161,15 @@ def ngram_jaccard_pairs(
     follows the banding S-curve (1-(1-s^r)^b; near 1 above s≈0.7 at
     8x4) — use it for near-dup thresholds; a threshold far below the
     S-curve knee belongs on the exact path at bounded scope.
+
+    The banded path EXECUTES EAGERLY (localCheckpoint of the verified
+    pairs): that bounds the lifetime of the gram-side cache — it is
+    released before returning instead of leaking into a long-lived
+    session (ADVICE r4 #2) — at the cost of composing downstream
+    filters into this plan. ``max_block_size`` is the skew cap
+    forwarded to candidate_pairs; blocks beyond its salvage tier are
+    DROPPED and the drop count is logged here (north rule: no silent
+    caps — on boilerplate-heavy corpora raise the cap or pre-dedup).
     """
     toks = tokens(text_col)
     grams = F.array_distinct(
@@ -226,8 +236,23 @@ def ngram_jaccard_pairs(
             sigs, id_col="_id", key_cols=key_cols, bands=bands,
             rows_per_band=num_perm // bands,
         )
-        pairs, _ = candidate_pairs(blocks, id_col="_id", key_cols=key_cols)
-        return _verify(pairs.select("left_id", "right_id"))
+        pairs, dropped = candidate_pairs(
+            blocks, id_col="_id", key_cols=key_cols, max_block_size=max_block_size
+        )
+        verified = _verify(pairs.select("left_id", "right_id")).localCheckpoint(eager=True)
+        n_dropped = dropped.count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs(banded): %d oversized blocks dropped "
+                "(max_block_size=%d) — pairs inside them were never "
+                "compared; raise max_block_size or exact-dedup first",
+                n_dropped,
+                max_block_size,
+            )
+        side.unpersist()
+        return verified
 
     a, b = side.alias("a"), side.alias("b")
     cond = F.col("a._id") < F.col("b._id")
@@ -243,6 +268,89 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(
             F.col("a._id").alias("left_id"), F.col("b._id").alias("right_id"), "jaccard"
+        )
+    )
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Distinct word n-grams as an array column (same windowing as
+    ngram_jaccard_pairs and the DuckDB oracle helpers: a doc shorter
+    than n tokens yields its single truncated gram)."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def contamination_tags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Eval-set decontamination: tag training documents that share word
+    n-grams with a held-out evaluation set — the standard LLM-pipeline
+    guard against benchmark leakage (the n-gram-collision filter family
+    popularized by the GPT-3/C4 dataset reports).
+
+    Returns (``id_col``, n_grams, contaminated_grams,
+    contamination_frac, is_contaminated) for every training document.
+
+    Scale shape (the reason this is NOT ngram_jaccard_pairs reused):
+    contamination is an asymmetric probe of a HUGE training corpus
+    against a SMALL eval set, so the right plan is explode the training
+    grams once, broadcast-join them against the distinct eval-gram
+    table, and aggregate per document — zero shuffles of the training
+    side except the final map-side-combined groupBy, no pair table, no
+    banding. Eval sets are benchmarks (10^5-10^6 grams): far under any
+    broadcast limit. If yours is not, pre-hash and bucket both sides
+    instead — do not lift the broadcast hint to a shuffle join blindly.
+
+    ``hash_grams=True`` joins on xxhash64(gram) instead of the gram
+    string — ~5-10x fewer bytes through the join at 100 TB; collisions
+    can only create false POSITIVES (a clean doc tagged contaminated)
+    at ~2^-64 per gram pair, acceptable for a filter whose false
+    positives merely drop a training document. Keep False when exact
+    gram identity matters (oracle parity).
+    """
+    eval_text_col = eval_text_col or text_col
+    gram = _word_ngrams(text_col, n)
+    egram = _word_ngrams(eval_text_col, n)
+
+    def _key(col):
+        return F.xxhash64(col).alias("_gram") if hash_grams else col.alias("_gram")
+
+    eg = (
+        eval_docs.select(F.explode(egram).alias("_g"))
+        .select(_key(F.col("_g")))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    g = docs.select(
+        F.col(id_col).alias("_id"), F.explode(gram).alias("_g")
+    ).select("_id", _key(F.col("_g")))
+    return (
+        g.join(F.broadcast(eg), "_gram", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("contaminated_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "contaminated_grams",
+            F.round(F.col("contaminated_grams") / F.col("n_grams"), 6).alias(
+                "contamination_frac"
+            ),
+            (F.col("contaminated_grams") >= min_hits).cast("int").alias("is_contaminated"),
         )
     )
 

@@ -81,6 +81,55 @@ def pil_decoder():
     return _decode
 
 
+def audio_decoder(sample_rate: int = 16_000):
+    """REAL audio decode via soundfile (libsndfile) with a librosa
+    fallback, behind the same lazy optional-dependency gate as
+    :func:`pil_decoder`: returns the mono waveform as a float32 1-D
+    array — same ``bytes -> np.ndarray`` contract as the stub, so the
+    featurize/quarantine plumbing downstream is identical.
+
+    OPT-IN, never auto-detected, for the same reason as the image gate:
+    pipeline outputs (and the frozen q42 oracle) must not depend on
+    which media libraries happen to be installed. Resolution happens on
+    the driver, so a missing library fails at plan build, not inside
+    executor tasks.
+    """
+    try:
+        import io
+
+        import soundfile  # noqa: F401  (sandbox has neither lib)
+
+        def _decode(payload: bytes) -> np.ndarray:
+            if not payload:
+                raise ValueError("empty media payload")
+            data, _sr = soundfile.read(io.BytesIO(payload), dtype="float32")
+            if data.ndim > 1:  # downmix to mono
+                data = data.mean(axis=1)
+            return data.astype(np.float32)
+
+        return _decode
+    except ImportError:
+        pass
+    try:
+        import io
+
+        import librosa
+
+        def _decode(payload: bytes) -> np.ndarray:
+            if not payload:
+                raise ValueError("empty media payload")
+            data, _sr = librosa.load(io.BytesIO(payload), sr=sample_rate, mono=True)
+            return data.astype(np.float32)
+
+        return _decode
+    except ImportError as e:  # pragma: no cover - sandbox has no audio libs
+        raise ImportError(
+            "audio_decoder requires the optional 'soundfile' or 'librosa' "
+            "package (pip install soundfile). The default deterministic "
+            "stub decoder needs no dependencies."
+        ) from e
+
+
 def extract_features(
     df: DataFrame, batch_bytes: int = 64 << 20, decoder="stub"
 ) -> DataFrame:
@@ -92,7 +141,8 @@ def extract_features(
     rows some blobs WILL be garbage).
 
     ``decoder``: 'stub' (default — deterministic fake decode),
-    'pil' (real image decode, requires Pillow), or any callable
+    'pil' (real image decode, requires Pillow), 'audio' (real audio
+    decode, requires soundfile or librosa), or any callable
     ``bytes -> np.ndarray``. The callable is resolved ON THE DRIVER so
     a missing optional dependency fails at plan build with a clear
     ImportError, not inside executor tasks.
@@ -101,10 +151,14 @@ def extract_features(
         decode = _decode_image
     elif decoder == "pil":
         decode = pil_decoder()
+    elif decoder == "audio":
+        decode = audio_decoder()
     elif callable(decoder):
         decode = decoder
     else:
-        raise ValueError(f"unknown decoder {decoder!r}: use 'stub', 'pil', or a callable")
+        raise ValueError(
+            f"unknown decoder {decoder!r}: use 'stub', 'pil', 'audio', or a callable"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -69,6 +69,10 @@ class LinkageConfig:
     # Jaccard estimate is below this before the pandas-UDF scorers
     prefilter_est_jaccard: float = 0.45
     cc_max_iter: int = 20
+    # convergence-check cadence for CC (operators/cc.py check_every):
+    # 1 = fingerprint every round; >1 trades possible extra idempotent
+    # rounds for fewer driver aggregation round-trips after round 3
+    cc_check_every: int = 1
     weights: tuple[float, float, float] = (0.2, 0.5, 0.3)
     # cap on the IDF broadcast vocabulary (corpus_idf); 0 disables the
     # tf-idf scorer's corpus weighting (plain TF cosine)
@@ -265,7 +269,12 @@ def run_linkage(
         scored = _persist(scored)
 
     edges = match_edges(scored, threshold=cfg.threshold)
-    comp = connected_components(edges, max_iter=cfg.cc_max_iter, checkpoint=checkpoint)
+    comp = connected_components(
+        edges,
+        max_iter=cfg.cc_max_iter,
+        checkpoint=checkpoint,
+        check_every=cfg.cc_check_every,
+    )
     # connected_components emits (file_id, cluster_id); align its node
     # column with cfg.id_col so custom id columns join correctly
     if cfg.id_col != "file_id":

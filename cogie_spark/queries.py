@@ -690,9 +690,24 @@ def q31(spark, sf_dir):
 )
 def q32(spark, sf_dir):
     """MinHash-LSH near-dup detection (shingle→minhash→band→bucket-join
-    →exact-Jaccard verify). The oracle computes brute-force shingle
-    Jaccard over all same-lang pairs; at threshold 0.9 LSH recall with
-    16 bands x 2 rows is 1 - (1-0.81)^16 ≈ 1-4e-12, so the sets match.
+    →exact-Jaccard verify). The oracle computes brute-force CHAR-shingle
+    Jaccard over all same-lang pairs; precision is exact either way (the
+    final filter verifies char-shingle Jaccard >= 0.9 on candidates).
+
+    Recall domain caveat (ADVICE r4 #3): mode='fast' bands over WORD
+    3-gram xxhash64 signatures, so the banding S-curve 1-(1-s^r)^b
+    applies to word-gram similarity, not to the oracle's char-shingle
+    similarity — the clean 1-(1-0.81)^16 bound computed in the
+    char-shingle domain does NOT transfer. What protects the estimate
+    filter is the widened cascade floor; what protects candidate
+    generation is that char-Jaccard >= 0.9 pairs of prose-like text are
+    word-gram similar too (near-identical texts differ in few words).
+    A pathological pair — char-Jaccard just above 0.9 but much lower
+    word-gram similarity (e.g. heavy word-boundary edits) — CAN be
+    missed; agreement with the oracle is empirically validated on the
+    sf0.01/sf0.1 fixtures (pair-identical output, 131 pairs at sf0.1).
+    For an analytic recall bound in the oracle's own domain, use
+    mode='portable' (char-shingle signatures, ~5x slower hashing).
     (The testdata has planted near-dup documents — the clones union
     adds known jaccard-1.0 pairs on top.)"""
     # the near-dup operator reads its input twice (signature pass +
@@ -730,6 +745,48 @@ def q22(spark, sf_dir):
     from cogie_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.01)
+
+
+@q(
+    "q59_decontamination",
+    f"""
+    WITH t AS (SELECT doc_id, {_toks('text')} AS tk FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 3, 2)),
+                   i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+          FROM t),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 19 = 3),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 19 <> 3)
+    SELECT tr.doc_id AS doc_id,
+           count(*) AS n_grams,
+           count(ev.gram) AS contaminated_grams,
+           round(count(ev.gram)::DOUBLE / count(*), 6) AS contamination_frac,
+           (count(ev.gram) >= 1)::INT AS is_contaminated
+    FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+    GROUP BY tr.doc_id
+    """,
+)
+def q59(spark, sf_dir):
+    """Eval-set decontamination (VERDICT r4 'Next round' #6): word
+    5-gram collision tagging of the training split (doc_id % 19 <> 3)
+    against the held-out split (doc_id % 19 = 3) — the LLM-pipeline
+    benchmark-leakage guard. The plan is explode-train-grams →
+    broadcast-join the distinct eval-gram table → per-doc aggregate:
+    no pair table, no banding, no shuffle of the training side beyond
+    the final map-side-combined groupBy (operators/dedup.py
+    contamination_tags)."""
+    from cogie_spark.operators.dedup import contamination_tags
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_tags(
+        d.filter("doc_id % 19 <> 3"),
+        d.filter("doc_id % 19 = 3"),
+        id_col="doc_id",
+        text_col="text",
+        n=5,
+        min_hits=1,
+    )
 
 
 # =====================================================================

@@ -431,3 +431,82 @@ def test_extract_features_decoder_gate(spark):
 
     with pytest.raises(ValueError, match="unknown decoder"):
         extract_features(media, decoder="librosa")
+
+
+def test_extract_features_audio_gate(spark):
+    """VERDICT r4 'Next round' #5: the 'audio' kind mirrors the image
+    gate — decoder='audio' resolves on the driver and fails at PLAN
+    BUILD with a clear ImportError when neither soundfile nor librosa
+    is installed; with a lib present, garbage payloads quarantine."""
+    import pytest
+
+    from cogie_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=4)
+
+    has_audio_lib = False
+    for lib in ("soundfile", "librosa"):
+        try:
+            __import__(lib)
+            has_audio_lib = True
+            break
+        except ImportError:
+            pass
+
+    if not has_audio_lib:
+        with pytest.raises(ImportError, match="soundfile|librosa"):
+            extract_features(media, decoder="audio")
+    else:  # pragma: no cover - sandbox has no audio libs
+        rows = extract_features(media, decoder="audio").collect()
+        assert all(r["decode_error"] is not None for r in rows if r["media_id"])
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        extract_features(media, decoder="mp3")
+
+
+def test_contamination_tags_hash_grams_equivalent(spark):
+    """The xxhash64-gram join (the 100 TB byte-saving path) must tag the
+    same documents as the exact-string join on real data, and the plan
+    must broadcast the eval side (no shuffle of the training grams into
+    a sort-merge join)."""
+    from cogie_spark.operators.dedup import contamination_tags
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    train = d.filter("doc_id % 7 <> 2")
+    ev = d.filter("doc_id % 7 = 2")
+
+    exact = contamination_tags(train, ev, "doc_id", "text", n=4, hash_grams=False)
+    hashed = contamination_tags(train, ev, "doc_id", "text", n=4, hash_grams=True)
+    rows_e = {tuple(r) for r in exact.collect()}
+    rows_h = {tuple(r) for r in hashed.collect()}
+    assert rows_e == rows_h
+    assert any(r[4] == 1 for r in rows_e), "fixture must contain contamination"
+    # every training doc is tagged, contaminated or not
+    assert len(rows_e) == train.count()
+
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_cc_check_every_identical_clusters(spark):
+    """check_every=2 (VERDICT r4 #7 cadence) must produce byte-identical
+    components to the per-round fingerprint — extra rounds past the
+    fixed point are idempotent, and cadence-apart fingerprints still
+    detect it (the star potential is non-increasing)."""
+    from cogie_spark.operators.cc import connected_components
+
+    # a path graph (worst case for round count) + disjoint triangles
+    ids = [f"n{i:03d}" for i in range(64)]
+    edges = [(ids[i], ids[i + 1]) for i in range(49)] + [
+        (ids[50 + 3 * j], ids[51 + 3 * j]) for j in range(4)
+    ] + [(ids[51 + 3 * j], ids[52 + 3 * j]) for j in range(4)]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+
+    base = {tuple(r) for r in connected_components(df).collect()}
+    cadenced = {tuple(r) for r in connected_components(df, check_every=2).collect()}
+    assert base == cadenced
+    # one 50-node path component + four 3-node components
+    from collections import Counter
+
+    sizes = Counter(c for _, c in base)
+    assert sorted(sizes.values()) == [3, 3, 3, 3, 50]

@@ -343,3 +343,72 @@ def test_stream_wiring_with_compaction(spark):
     assert base.select("file_id").distinct().count() == files.count()
     # cluster count equals group count: wave-2 duplicates joined wave-1
     assert base.select("cluster_id").distinct().count() == 6
+
+
+def test_uri_base_manifest_publish_and_compaction_cleanup(spark):
+    """VERDICT r4 'Next round' #3: the streaming-state control files
+    (manifest publish/read, compaction deletes) must work on any
+    Hadoop-compatible FS, not just POSIX paths. A ``file://`` URI base
+    routes EVERY control-file operation through the Hadoop FileSystem
+    code path (TableIO keeps pathlib only for scheme-less bases) while
+    still being inspectable from the local side."""
+    import json
+    import pathlib
+
+    import cogie_spark.streaming.incremental as inc_mod
+
+    local = tempfile.mkdtemp(prefix="cogie_uri_")
+    state = TableIO(spark, f"file://{local}")
+    assert isinstance(state.base, str) and state.base.startswith("file://")
+
+    batches = _slices(spark, n_groups=8, n_batches=4)
+    for i, b in enumerate(batches):
+        incremental_link_batch(b, state, batch_id=i, compact_every=2)
+
+    # manifest was published via the Hadoop route; readable both ways
+    manifest = inc_mod._read_manifest(state)
+    assert manifest is not None and manifest.get("base")
+    local_manifest = json.loads(
+        (pathlib.Path(local) / "_state_manifest.json").read_text()
+    )
+    assert local_manifest == manifest
+    assert len(manifest["batches"]) <= 2
+
+    # compaction cleanup went through fsio.delete: no orphaned dirs
+    live = {manifest["base"]["members"], manifest["base"]["bands"]} | {
+        d for b in manifest["batches"] for d in (b["members"], b["bands"])
+    }
+    on_disk = {p.name for p in pathlib.Path(local).iterdir() if p.is_dir()}
+    assert on_disk == live, f"orphaned dirs: {on_disk - live}"
+
+    # state reads resolve through the URI paths
+    members = spark.read.parquet(*inc_mod._state_member_paths(state, manifest))
+    total = sum(b.count() for b in batches)
+    assert members.count() == total
+
+    # retries still short-circuit (idempotent commit reads the manifest
+    # through the same Hadoop route)
+    retry = incremental_link_batch(batches[0], state, batch_id=0, compact_every=2)
+    assert retry.count() == batches[0].count()
+    assert inc_mod._read_manifest(state) == manifest
+
+
+def test_checkpoint_manager_uri_base(spark):
+    """CheckpointManager commit/latest/metrics on a file:// URI base —
+    the snapshot manifest and the metrics/lineage logs must not assume
+    POSIX append or os.replace."""
+    from cogie_spark.io.tableio import CheckpointManager
+
+    local = tempfile.mkdtemp(prefix="cogie_ckuri_")
+    ck = CheckpointManager(spark, f"file://{local}")
+    df = spark.range(5).withColumnRenamed("id", "v")
+    out = ck.commit("stage1", df, iteration=0, input_fingerprint="abc")
+    assert out.count() == 5
+    latest = ck.latest("stage1")
+    assert latest is not None and latest[1] == 0 and latest[0].count() == 5
+
+    ck.log_metric("stage1", 0, "rows", 5.0)
+    m = ck.metrics_df()
+    assert m.filter("key = 'rows'").count() == 1
+    lin = ck.lineage_df()
+    assert lin.filter("stage = 'stage1'").count() == 1
