@@ -177,30 +177,40 @@ def labeled_pairs(files_with_truth: DataFrame) -> DataFrame:
             F.lit(True).alias("is_match"),
         )
     )
-    # deterministic negatives: rank files within lang by group order and
-    # pair each with the next 2 ranks (different group => non-match)
+    # deterministic negatives: order files within lang by group order and
+    # pair each with the next 2 files (different group => non-match).
+    # lead() over ONE window pass — the original join formulation's only
+    # equi key was lang (5 values), which sort-merge-degenerates to a
+    # within-lang all-pairs loop (~280k x 280k per lang at 450k groups);
+    # lead() yields the identical (rk, rk+1/rk+2) pairs with no join.
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy("group_id", "file_id")
-    ranked = files_with_truth.select(
-        "file_id", "lang", "group_id", F.row_number().over(w).alias("rk")
-    )
-    r2 = ranked.select(
-        F.col("file_id").alias("r_file_id"),
-        F.col("lang").alias("r_lang"),
-        F.col("group_id").alias("r_group_id"),
-        F.col("rk").alias("r_rk"),
+    led = files_with_truth.select(
+        "file_id",
+        "lang",
+        "group_id",
+        F.lead("file_id", 1).over(w).alias("n1_id"),
+        F.lead("group_id", 1).over(w).alias("n1_gid"),
+        F.lead("file_id", 2).over(w).alias("n2_id"),
+        F.lead("group_id", 2).over(w).alias("n2_gid"),
     )
     neg = (
-        ranked.join(
-            r2,
-            (F.col("lang") == F.col("r_lang"))
-            & (F.col("r_rk") - F.col("rk")).isin(1, 2)
-            & (F.col("group_id") != F.col("r_group_id")),
+        led.select(
+            "file_id",
+            "lang",
+            "group_id",
+            F.explode(
+                F.array(
+                    F.struct(F.col("n1_id").alias("nid"), F.col("n1_gid").alias("ngid")),
+                    F.struct(F.col("n2_id").alias("nid"), F.col("n2_gid").alias("ngid")),
+                )
+            ).alias("nxt"),
         )
+        .filter(F.col("nxt.nid").isNotNull() & (F.col("nxt.ngid") != F.col("group_id")))
         .select(
-            F.least("file_id", "r_file_id").alias("left_id"),
-            F.greatest("file_id", "r_file_id").alias("right_id"),
+            F.least("file_id", F.col("nxt.nid")).alias("left_id"),
+            F.greatest("file_id", F.col("nxt.nid")).alias("right_id"),
             F.col("lang").alias("blocking_key"),
             F.lit(False).alias("is_match"),
         )
