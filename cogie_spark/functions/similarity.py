@@ -261,6 +261,123 @@ def token_set_ratio_native(a: Column | str, b: Column | str) -> Column:
 
 
 # ------------------------------------------------------------------ tfidf cosine
+def tfidf_cosine_row(a: str, b: str, idf_map: dict | None = None) -> float:
+    """Single-pair TF(-IDF) cosine — the per-row dict-loop reference
+    formula. Kept as the property-test oracle for
+    :func:`tfidf_cosine_batch`; the pipeline never calls it per row."""
+    idf_map = idf_map or {}
+    ca: dict[str, float] = {}
+    cb: dict[str, float] = {}
+    for t in (a or "").split():
+        ca[t] = ca.get(t, 0.0) + 1.0
+    for t in (b or "").split():
+        cb[t] = cb.get(t, 0.0) + 1.0
+    num = 0.0
+    na = 0.0
+    nb = 0.0
+    for t, f_ in ca.items():
+        w = f_ * idf_map.get(t, 1.0)
+        na += w * w
+        if t in cb:
+            num += w * (cb[t] * idf_map.get(t, 1.0))
+    for t, f_ in cb.items():
+        w = f_ * idf_map.get(t, 1.0)
+        nb += w * w
+    return num / np.sqrt(na * nb) if na > 0 and nb > 0 else (1.0 if not ca and not cb else 0.0)
+
+
+def _flatten_tokens(series: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_ids, flat_tokens, tokens_per_row) for a batch of strings."""
+    from itertools import chain
+
+    lists = series.str.split()
+    lens = lists.str.len().fillna(0).to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    flat = np.fromiter(
+        chain.from_iterable(lists), dtype=object, count=total
+    ) if total else np.empty(0, dtype=object)
+    rows = np.repeat(np.arange(len(series), dtype=np.int64), lens)
+    return rows, flat, lens
+
+
+def _first_occurrence_groups(keys: np.ndarray, n_codes: int):
+    """Unique (row, token) keys with counts, ordered the way a per-row
+    insertion-ordered dict would iterate them: rows ascending, tokens in
+    first-occurrence order within each row.
+
+    ``pd.factorize`` is hash-based and returns uniques in FIRST-
+    APPEARANCE order — for keys flattened row-major that is exactly the
+    dict-iteration order, with no sort (an earlier ``np.unique`` +
+    ``argsort(first)`` form was measured 4x slower end-to-end)."""
+    grp, uk = pd.factorize(keys)
+    cnt = np.bincount(grp, minlength=len(uk)).astype(np.float64)
+    return uk, (uk // n_codes).astype(np.intp), (uk % n_codes).astype(np.intp), cnt
+
+
+def tfidf_cosine_batch(av, bv, idf_map: dict | None = None) -> np.ndarray:
+    """Whole-batch TF(-IDF) cosine, vectorized ACROSS the batch — the
+    per-row dict loops of :func:`tfidf_cosine_row` become two hash
+    factorizations + bincounts over the batch's flattened tokens (the
+    last per-row Python loop in the flagship scorer; north-rule letter
+    "zero per-row Python").
+
+    Bit-identical to the row oracle (property-tested): the per-(row,
+    token) weight groups are ordered exactly as an insertion-ordered
+    dict iterates them (factorize's first-appearance order) and
+    accumulated with ``np.bincount``, which adds weights sequentially
+    in input order — every float addition happens in the same order as
+    the reference loop. The intersection term accumulates in the left
+    side's iteration order, as the loop's ``if t in cb`` branch does.
+    """
+    idf_map = idf_map or {}
+    n = len(av)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    sa = pd.Series(av, dtype=object).fillna("")
+    sb = pd.Series(bv, dtype=object).fillna("")
+    rows_a, flat_a, len_a = _flatten_tokens(sa)
+    rows_b, flat_b, len_b = _flatten_tokens(sb)
+    both_empty = (len_a == 0) & (len_b == 0)
+    out[both_empty] = 1.0
+    if flat_a.size == 0 or flat_b.size == 0:
+        return out
+    codes, uniq = pd.factorize(np.concatenate([flat_a, flat_b]))
+    n_codes = len(uniq)
+    if idf_map:
+        w_uniq = np.fromiter(
+            (idf_map.get(t, 1.0) for t in uniq), dtype=np.float64, count=n_codes
+        )
+    else:
+        w_uniq = np.ones(n_codes, dtype=np.float64)
+    key_a = rows_a * n_codes + codes[: flat_a.size]
+    key_b = rows_b * n_codes + codes[flat_a.size :]
+    uk_a, urow_a, ucode_a, cnt_a = _first_occurrence_groups(key_a, n_codes)
+    uk_b, urow_b, ucode_b, cnt_b = _first_occurrence_groups(key_b, n_codes)
+    wa = cnt_a * w_uniq[ucode_a]
+    wb = cnt_b * w_uniq[ucode_b]
+    na = np.bincount(urow_a, weights=wa * wa, minlength=n)
+    nb = np.bincount(urow_b, weights=wb * wb, minlength=n)
+    # intersection term, accumulated in the LEFT side's group order
+    # (hash lookup of a's keys in b's key table; -1 = not in b)
+    pos = pd.Index(uk_b).get_indexer(uk_a)
+    matched = pos >= 0
+    if matched.any():
+        num = np.bincount(
+            urow_a[matched],
+            weights=wa[matched] * wb[pos[matched]],
+            minlength=n,
+        )
+    else:
+        num = np.zeros(n, dtype=np.float64)
+    valid = (na > 0) & (nb > 0)
+    out[valid] = num[valid] / np.sqrt(na[valid] * nb[valid])
+    # rows with tokens but zero-weighted vectors fall through to 0.0,
+    # matching the row oracle's else-branch
+    out[both_empty] = 1.0
+    return out
+
+
 def tfidf_cosine_udf(idf=None):
     """Build a pandas UDF scoring cosine over TF(-IDF) token vectors.
 
@@ -279,28 +396,8 @@ def tfidf_cosine_udf(idf=None):
     @pandas_udf(DoubleType())
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         idf_map = _holder.value if isinstance(_holder, Broadcast) else _holder
-        out = np.empty(len(a), dtype=np.float64)
         av, bv = a.to_numpy(dtype=object), b.to_numpy(dtype=object)
-        for i in range(len(av)):
-            ca: dict[str, float] = {}
-            cb: dict[str, float] = {}
-            for t in (av[i] or "").split():
-                ca[t] = ca.get(t, 0.0) + 1.0
-            for t in (bv[i] or "").split():
-                cb[t] = cb.get(t, 0.0) + 1.0
-            num = 0.0
-            na = 0.0
-            nb = 0.0
-            for t, f_ in ca.items():
-                w = f_ * idf_map.get(t, 1.0)
-                na += w * w
-                if t in cb:
-                    num += w * (cb[t] * idf_map.get(t, 1.0))
-            for t, f_ in cb.items():
-                w = f_ * idf_map.get(t, 1.0)
-                nb += w * w
-            out[i] = num / np.sqrt(na * nb) if na > 0 and nb > 0 else (1.0 if not ca and not cb else 0.0)
-        return pd.Series(out)
+        return pd.Series(tfidf_cosine_batch(av, bv, idf_map))
 
     return _cos
 

@@ -464,6 +464,31 @@ def test_extract_features_audio_gate(spark):
         extract_features(media, decoder="mp3")
 
 
+def test_extract_features_video_gate(spark):
+    """The 'video' kind completes the decoder-gate family: decoder=
+    'video' resolves on the driver and fails at PLAN BUILD with a clear
+    ImportError when PyAV is absent; with the lib present, garbage
+    payloads quarantine like every other decoder."""
+    import pytest
+
+    from cogie_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=4)
+
+    try:
+        __import__("av")
+        has_av = True
+    except ImportError:
+        has_av = False
+
+    if not has_av:
+        with pytest.raises(ImportError, match="PyAV|'av'"):
+            extract_features(media, decoder="video")
+    else:  # pragma: no cover - sandbox has no video libs
+        rows = extract_features(media, decoder="video").collect()
+        assert all(r["decode_error"] is not None for r in rows if r["media_id"])
+
+
 def test_contamination_tags_hash_grams_equivalent(spark):
     """The xxhash64-gram join (the 100 TB byte-saving path) must tag the
     same documents as the exact-string join on real data, and the plan

@@ -79,3 +79,62 @@ def test_token_set_ratio_native_matches_python(spark):
     for r in got:
         assert r["ts"] == pytest.approx(token_set_ratio_py(r["a"], r["b"]), abs=1e-12), (
             r["a"], r["b"])
+
+
+def test_tfidf_cosine_batch_bit_identical_to_row_oracle():
+    """The batch-vectorized TF-IDF cosine must be BIT-identical to the
+    per-row dict-loop oracle: the group ordering (per-row first token
+    occurrence) and np.add.at accumulation reproduce the loop's exact
+    float addition order."""
+    import math
+    import random
+
+    import numpy as np
+
+    from cogie_spark.functions.similarity import (
+        tfidf_cosine_batch,
+        tfidf_cosine_row,
+    )
+
+    rng = random.Random(13)
+    vocab = [
+        "def", "return", "x", "y", "parse", "self", "import", "os",
+        "alpha", "beta", "γ", "naïve", "a" * 40,
+    ]
+    idf = {t: math.log(10 / (i + 1)) + 1.0 for i, t in enumerate(vocab[:8])}
+
+    def mk(k):
+        return " ".join(rng.choices(vocab, k=k))
+
+    rows = [
+        ("", ""), (None, None), ("", "def x"), ("def x", ""),
+        ("def def def", "def"), ("x  y\t z", "z y x"),
+        ("a b", "c d"), ("alpha", "alpha"),
+    ]
+    for _ in range(300):
+        rows.append((mk(rng.randint(0, 60)), mk(rng.randint(0, 60))))
+    av = np.array([r[0] for r in rows], dtype=object)
+    bv = np.array([r[1] for r in rows], dtype=object)
+    for idf_map in (None, idf):
+        got = tfidf_cosine_batch(av, bv, idf_map)
+        for i, (a, b) in enumerate(rows):
+            want = tfidf_cosine_row(a, b, idf_map)
+            assert got[i] == want, (a, b, got[i], want, idf_map is not None)
+
+
+def test_tfidf_cosine_batch_zero_weight_vectors():
+    """Tokens present but all weights zero -> 0.0 (the oracle's else
+    branch), never a NaN from 0/0."""
+    import numpy as np
+
+    from cogie_spark.functions.similarity import (
+        tfidf_cosine_batch,
+        tfidf_cosine_row,
+    )
+
+    idf = {"x": 0.0, "y": 0.0}
+    av = np.array(["x y", "x"], dtype=object)
+    bv = np.array(["x y", "y"], dtype=object)
+    got = tfidf_cosine_batch(av, bv, idf)
+    assert list(got) == [tfidf_cosine_row("x y", "x y", idf), tfidf_cosine_row("x", "y", idf)]
+    assert not np.isnan(got).any()
