@@ -159,6 +159,18 @@ def main():
         print(json.dumps(result))
         return
 
+    # window-quality context: this host intermittently serves new
+    # anonymous pages at ~1.2 ms/first-touch (BASELINE.md round-5 host
+    # pathology) — record the cold page-fault latency alongside the
+    # timings so a degraded-window run is readable as such
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from pagefault_probe import probe
+
+        pf_cold = probe(mb=16)["cold_us_per_page"]
+    except Exception:
+        pf_cold = None
+
     timings, extras = run_once(f"local[{cpus}]", sf_dir, n_groups, int(cpus))
     total = round(sum(timings.values()), 3)
     print(
@@ -172,6 +184,7 @@ def main():
                 "pairs_scored": extras["pairs_scored"],
                 "pairs_scored_per_sec": extras["pairs_scored_per_sec"],
                 "clusters": extras["clusters"],
+                "pagefault_cold_us_per_page": pf_cold,
             }
         )
     )
