@@ -138,3 +138,58 @@ def test_tfidf_cosine_batch_zero_weight_vectors():
     got = tfidf_cosine_batch(av, bv, idf)
     assert list(got) == [tfidf_cosine_row("x y", "x y", idf), tfidf_cosine_row("x", "y", idf)]
     assert not np.isnan(got).any()
+
+
+# ---------------------------------------------------------------- hypothesis
+# Adversarial-input property tests for the two batch-vectorized scorers:
+# hypothesis explores unicode planes, exotic whitespace, and repeated
+# tokens that the seeded-random tests above cannot reach. Each batch
+# kernel must stay BIT-identical to its per-row reference formula.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+    max_size=40,
+)
+_token_text = st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs", "Zs", "Zl", "Zp"),
+                                   blacklist_characters="\t\n\r\x0b\x0c"),
+            min_size=1, max_size=8),
+    max_size=12,
+).map(" ".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_text, _text), min_size=1, max_size=30))
+def test_jaro_winkler_batch_hypothesis(pairs):
+    import numpy as np
+
+    from cogie_spark.functions.similarity import jaro_winkler_batch, jaro_winkler_py
+
+    av = np.array([p[0] for p in pairs], dtype=object)
+    bv = np.array([p[1] for p in pairs], dtype=object)
+    got = jaro_winkler_batch(av, bv)
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == jaro_winkler_py(a, b), (a, b)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.tuples(_token_text, _token_text), min_size=1, max_size=30),
+    st.booleans(),
+)
+def test_tfidf_cosine_batch_hypothesis(pairs, use_idf):
+    import numpy as np
+
+    from cogie_spark.functions.similarity import tfidf_cosine_batch, tfidf_cosine_row
+
+    idf = None
+    if use_idf:
+        vocab = {t for a, b in pairs for t in (a + " " + b).split()}
+        idf = {t: 0.5 + (hash(t) % 13) / 4.0 for t in list(vocab)[::2]}
+    av = np.array([p[0] for p in pairs], dtype=object)
+    bv = np.array([p[1] for p in pairs], dtype=object)
+    got = tfidf_cosine_batch(av, bv, idf)
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == tfidf_cosine_row(a, b, idf), (a, b, use_idf)
