@@ -68,6 +68,17 @@ class LinkageConfig:
     # cheap JVM-side cascade filter: drop pairs whose MinHash-agreement
     # Jaccard estimate is below this before the pandas-UDF scorers
     prefilter_est_jaccard: float = 0.45
+    # bits of each MinHash component carried INTO THE PAIR TABLE for
+    # the cascade (8 = low byte via tinyint cast, 64 = full values).
+    # The pair table is the biggest relation at scale and ships one
+    # signature per side only for the est-Jaccard filter; b-bit
+    # compression cuts those bytes 8x and is RECALL-SAFE by
+    # construction: the cast preserves equality, distinct components
+    # can only collide (p ~= 1/256), so est_8bit >= est_exact per pair
+    # and the floor keeps a superset of the exact-cascade pairs. Extra
+    # admitted pairs are rejected by the exact scorers downstream
+    # (clusters verified identical at 8 vs 64 on the fixtures).
+    cascade_sig_bits: int = 8
     cc_max_iter: int = 20
     # convergence-check cadence for CC (operators/cc.py check_every):
     # 1 = fingerprint every round; >1 trades possible extra idempotent
@@ -188,7 +199,16 @@ def run_linkage(
     # while the cascade keep-ratio is high (measured 0.96 on the code
     # fixture: banding already implies est-Jaccard ≈ threshold), a loss
     # on corpora where banding is much looser than the prefilter.
-    side = sigs.select(F.col(cfg.id_col).alias("_sid"), "sig").join(
+    # b-bit cascade signature (cascade_sig_bits): the full 64-bit
+    # components never need to reach the pair table — see LinkageConfig
+    # low byte, shifted into tinyint range (ANSI-safe: a bare tinyint
+    # cast of a 64-bit value throws CAST_OVERFLOW under Spark 4 ANSI)
+    cascade_sig = (
+        F.expr("transform(sig, x -> cast((x & 255) - 128 as tinyint))")
+        if cfg.cascade_sig_bits == 8
+        else F.col("sig")
+    ).alias("sig")
+    side = sigs.select(F.col(cfg.id_col).alias("_sid"), cascade_sig).join(
         files.select(
             F.col(cfg.id_col).alias("_sid"),
             F.substring(

@@ -108,3 +108,20 @@ def test_salted_hot_blocks(spark):
     pairs2, dropped2 = candidate_pairs(blocks, max_block_size=2, salvage_factor=4)
     assert dropped2.count() == 16
     assert pairs2.count() == 0
+
+
+def test_cascade_sig_bits_clusters_identical(spark):
+    """The 8-bit cascade signature (pair-table bytes / 8) must yield
+    byte-identical clusters to the full 64-bit form: the tinyint cast
+    preserves equality so est_8bit >= est_exact per pair — the cascade
+    floor keeps a superset, and the exact scorers decide the edges."""
+    files = code_files(spark, n_groups=40, seed=7)
+    got = {}
+    for bits in (8, 64):
+        out = run_linkage(files, LinkageConfig(cascade_sig_bits=bits))
+        got[bits] = {
+            (r["file_id"], r["cluster_id"]) for r in out["clusters"].collect()
+        }
+        for df in out["_persisted"]:
+            df.unpersist()
+    assert got[8] == got[64]
