@@ -65,6 +65,49 @@ class TableIO:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        buckets: int,
+        bucket_cols: tuple[str, ...],
+        sort_cols: tuple[str, ...] = (),
+        mode: str = "overwrite",
+    ) -> str:
+        """Materialize ``df`` as a SORTED, BUCKETED parquet table — the
+        north rule's "(lang, repo-prefix) composite keys materialized as
+        sorted bucketed partitions" layout. Joins and aggregations on a
+        prefix of ``bucket_cols`` between tables bucketed the same way
+        need NO exchange: Catalyst recognizes the bucket spec as the
+        required hash partitioning, so the big-side shuffle — the
+        dominant cost of re-linking a 10^12-file catalogue against a
+        daily delta — disappears (plan-asserted in tests).
+
+        Spark's bucket metadata lives in the session catalog, so the
+        table is written via ``saveAsTable`` with an explicit path under
+        this TableIO's base and must be read back with
+        :meth:`read_bucketed` (reading the bare parquet path works but
+        loses the bucket spec). On a production deployment the same
+        declaration is Iceberg's ``bucket(N, col)`` partition transform;
+        this is the sandbox-runnable equivalent, swap at the catalog.
+        """
+        table = f"cogie_{name}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        w = (
+            df.write.format("parquet")
+            .mode(mode)
+            .bucketBy(buckets, *bucket_cols)
+            .option("path", self.path(name))
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(table)
+        return table
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a :meth:`write_bucketed` table WITH its bucket spec."""
+        return self.spark.table(f"cogie_{name}")
+
 
 class CheckpointManager:
     """Committed, resumable snapshots per pipeline stage."""
