@@ -149,7 +149,11 @@ def test_stream_wiring_availablenow(spark):
     files.write.mode("overwrite").parquet(src)
 
     q = start_incremental_stream(spark, src, state_dir, ckpt)
-    q.awaitTermination(300)
+    # availableNow queries self-terminate; the bound is a hang guard.
+    # It must survive the host's page-fault storms (BASELINE.md round-5)
+    # and FAIL LOUDLY on timeout: awaitTermination returns False without
+    # raising, and the downstream state read then fails confusingly.
+    assert q.awaitTermination(1800), "stream did not terminate"
     members = spark.read.parquet(f"{state_dir}/members_delta_*")
     assert members.count() == files.count()
     assert set(members.columns) == {
@@ -329,10 +333,10 @@ def test_stream_wiring_with_compaction(spark):
 
     files.filter("member_idx = 0").write.mode("append").parquet(src)
     q = start_incremental_stream(spark, src, state_dir, ckpt, compact_every=1)
-    q.awaitTermination(300)
+    assert q.awaitTermination(1800), "stream did not terminate"
     files.filter("member_idx > 0").write.mode("append").parquet(src)
     q = start_incremental_stream(spark, src, state_dir, ckpt, compact_every=1)
-    q.awaitTermination(300)
+    assert q.awaitTermination(1800), "stream did not terminate"
 
     manifest = json.loads(
         (pathlib.Path(state_dir) / "_state_manifest.json").read_text()
