@@ -102,6 +102,137 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+def _dup_flags(srt: Column, n: Column) -> Column:
+    """Per-position 'value occurs more than once' flags over a SORTED
+    array: element i is a duplicate occurrence iff it equals a
+    neighbor. ``F.get`` (0-based) returns NULL out of bounds instead of
+    the ANSI INVALID_ARRAY_INDEX error ``element_at`` raises, so the
+    boundary probes need no branches. Guarded sequence: sequence(0,-1)
+    would auto-step DOWN and yield [0,-1], so the empty-array case pins
+    the upper bound at 0 (the single probe coalesces to false)."""
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.coalesce(
+            (F.get(srt, i) == F.get(srt, i - F.lit(1)))
+            | (F.get(srt, i) == F.get(srt, i + F.lit(1))),
+            F.lit(False),
+        ),
+    )
+
+
+def _arr_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ngram_ns: tuple[int, ...] = (2, 3),
+    dup_ngram_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1) —
+    the standard 'remove degenerate repetitive documents' gate in a
+    training-data pipeline. Pure built-in expressions (sorted-run trick:
+    array_sort makes equal values adjacent, so duplicate membership and
+    run lengths are neighbor comparisons), zero Python in the path.
+
+    Adds:
+      dup_line_frac        — fraction of non-empty lines occurring >1x
+      dup_line_char_frac   — chars inside those duplicated lines / all
+                             line chars
+      top_{n}gram_char_frac — chars covered by the single most frequent
+                             word n-gram / normalized chars
+      dup_{n}gram_char_frac — chars covered by word n-grams occurring
+                             >1x / normalized chars (overlapping
+                             occurrences counted per-gram, the usual
+                             upper-bound approximation)
+
+    All fractions are in [0, 1] except dup_{n}gram_char_frac, which the
+    overlap approximation can push above 1 on pathological inputs — cap
+    at 1.0 like the published filter does.
+
+    PERF INVARIANT (the 100 TB consideration): every array a lambda
+    probes element-wise is staged as a REAL column first. A bare
+    ``F.get(array_sort(...), i)`` inside transform/filter inlines the
+    whole sort subtree into the lambda body, and Spark re-evaluates
+    lambda subexpressions PER ELEMENT — O(G² log G) per row, a hang on
+    kilobyte documents (observed, not hypothetical). Staged columns
+    make the probes O(1) GetArrayItem on an attribute reference; the
+    multi-reference aliases also stop CollapseProject from re-inlining
+    them.
+    """
+    from cogie_spark.functions.text import word_ngrams
+
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)), lambda s: s != ""
+    )
+    out = df.withColumn("_rl_lsrt", F.array_sort(lines))
+    lsrt = F.col("_rl_lsrt")
+    nl = F.size(lsrt)
+    out = out.withColumn("_rl_lflags", _dup_flags(lsrt, nl))
+    lflags = F.col("_rl_lflags")
+    dup_lines = _arr_sum(F.transform(lflags, lambda b: b.cast("int")))
+    dup_line_chars = _arr_sum(
+        F.zip_with(lsrt, lflags, lambda l, b: F.when(b, F.length(l)).otherwise(F.lit(0)))
+    )
+    all_line_chars = _arr_sum(F.transform(lsrt, F.length))
+    out = out.withColumn(
+        "dup_line_frac",
+        F.round(dup_lines / F.greatest(nl.cast("long"), F.lit(1)), 6),
+    ).withColumn(
+        "dup_line_char_frac",
+        F.round(dup_line_chars / F.greatest(all_line_chars, F.lit(1)), 6),
+    )
+
+    n_chars = F.greatest(F.length(normalize_text(text)), F.lit(1)).cast("long")
+    temps = ["_rl_lsrt", "_rl_lflags"]
+
+    for n in sorted(set(top_ngram_ns) | set(dup_ngram_ns)):
+        scol, rcol = f"_rl_srt_{n}", f"_rl_runs_{n}"
+        temps += [scol, rcol]
+        out = out.withColumn(scol, F.array_sort(word_ngrams(text, n=n, distinct=False)))
+        srt = F.col(scol)
+        ng = F.size(srt)
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(ng - F.lit(1), F.lit(0))),
+            lambda i: (i == F.lit(0)) | (F.get(srt, i) != F.get(srt, i - F.lit(1))),
+        )
+        # run structs (cnt, len): occurrences and char length of each
+        # distinct gram — ends are the next run's start (last run: ng)
+        runs = F.zip_with(
+            starts,
+            F.concat(
+                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                F.array(ng),
+            ),
+            lambda s, e: F.struct(
+                (e - s).cast("long").alias("cnt"),
+                F.length(F.get(srt, s)).cast("long").alias("len"),
+            ),
+        )
+        out = out.withColumn(rcol, runs)
+        if n in top_ngram_ns:
+            top = F.array_max(F.col(rcol))
+            out = out.withColumn(
+                f"top_{n}gram_char_frac",
+                F.round(F.least((top["cnt"] * top["len"]) / n_chars, F.lit(1.0)), 6),
+            )
+        if n in dup_ngram_ns:
+            dup_chars = _arr_sum(
+                F.transform(
+                    F.col(rcol),
+                    lambda r: F.when(r["cnt"] > 1, r["cnt"] * r["len"]).otherwise(F.lit(0)),
+                )
+            )
+            out = out.withColumn(
+                f"dup_{n}gram_char_frac",
+                F.round(F.least(dup_chars / n_chars, F.lit(1.0)), 6),
+            )
+    return out.drop(*temps)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Content fingerprint: md5 of normalized text (portable).
 
