@@ -143,19 +143,43 @@ def main():
         import shutil
         import subprocess
 
+        probe_script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts", "pagefault_probe.py")
+
+        def _pf_probe():
+            # window-quality reading (BASELINE.md host pathology): cold
+            # first-touch page-fault latency, recorded around every leg
+            # so a storm-contaminated pair is readable as such from the
+            # JSON alone instead of requiring manual probes.
+            try:
+                out = subprocess.run(
+                    [sys.executable, probe_script, "--mb", "32"],
+                    capture_output=True, text=True, timeout=120,
+                )
+                return json.loads(out.stdout.strip().splitlines()[-1])["cold_us_per_page"]
+            except Exception:
+                return None
+
         result = {}
         for cores in (8, 32):
             cmd = []
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{cores - 1}"]
             cmd += [sys.executable, os.path.abspath(__file__), "--leg", str(cores)]
+            pf_before = _pf_probe()
             out = subprocess.run(
                 cmd, capture_output=True, text=True, env=dict(os.environ)
             )
             line = out.stdout.strip().splitlines()[-1]
-            result[f"local[{cores}]"] = json.loads(line)
+            leg = json.loads(line)
+            leg["cold_us_per_page_before"] = pf_before
+            leg["cold_us_per_page_after"] = _pf_probe()
+            result[f"local[{cores}]"] = leg
         eff = (result["local[32]"]["pairs_per_sec"] / result["local[8]"]["pairs_per_sec"]) / 4.0
         result["scaling_efficiency_8_to_32"] = round(eff, 3)
+        probes = [result[k][f"cold_us_per_page_{w}"] for k in ("local[8]", "local[32]")
+                  for w in ("before", "after")]
+        result["window_clean"] = all(p is not None and p < 10 for p in probes)
         print(json.dumps(result))
         return
 

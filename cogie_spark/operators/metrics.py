@@ -233,3 +233,119 @@ def grouped_accuracy_macro(df: DataFrame, group: str, target: str, pred: str) ->
         F.avg(F.when(F.col(target) == F.col(pred), 1.0).otherwise(0.0)).alias("acc")
     )
     return per.agg(F.avg("acc").alias("macro_acc"))
+
+
+def bcubed(
+    clusters: DataFrame,
+    truth: DataFrame,
+    id_col: str = "file_id",
+    cluster_col: str = "cluster_id",
+    truth_col: str = "entity_id",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 of a predicted clustering against a
+    gold entity assignment (Bagga & Baldwin 1998) — the standard
+    entity-resolution cluster metric alongside pairwise F1
+    (metrics.pairwise_prf): pairwise F1 ignores singletons and weights
+    big clusters quadratically; B-cubed averages per-RECORD, so a
+    1000-file boilerplate cluster and a 2-file pair count per member.
+
+    For record i with predicted cluster C(i) and gold entity T(i):
+    precision_i = |C(i) ∩ T(i)| / |C(i)|, recall_i = |C(i) ∩ T(i)| / |T(i)|;
+    B³P/R = mean over records, F1 their harmonic mean.
+
+    Distributed restatement — no per-record set intersection: every
+    record in the (c, t) contingency cell shares |C ∩ T| = n_ct, so
+
+        Σ_i precision_i = Σ_{c,t} n_ct² / n_c
+        Σ_i recall_i    = Σ_{c,t} n_ct² / n_t
+
+    Three key-partitioned aggregations + two joins on tables no larger
+    than the record count; no driver state, survives any cluster-size
+    skew (the contingency table is as skewed as the clustering, but
+    each cell is one row).
+
+    clusters: (id_col, cluster_col) — engine output (e.g.
+    run_linkage()['clusters']). truth: (id_col, truth_col). Records
+    present in only one side are dropped by the inner join — evaluate
+    over the labeled subset, same convention as pairwise_prf. Returns a
+    1-row DataFrame (n_records, bcubed_precision, bcubed_recall,
+    bcubed_f1).
+    """
+    assign = clusters.select(id_col, cluster_col).join(
+        truth.select(id_col, truth_col), id_col
+    )
+    cells = assign.groupBy(cluster_col, truth_col).agg(F.count("*").alias("n_ct"))
+    by_c = cells.groupBy(cluster_col).agg(F.sum("n_ct").alias("n_c"))
+    by_t = cells.groupBy(truth_col).agg(F.sum("n_ct").alias("n_t"))
+    contrib = (
+        cells.join(by_c, cluster_col)
+        .join(by_t, truth_col)
+        .select(
+            F.col("n_ct"),
+            (F.col("n_ct") * F.col("n_ct") / F.col("n_c")).alias("_p"),
+            (F.col("n_ct") * F.col("n_ct") / F.col("n_t")).alias("_r"),
+        )
+    )
+    agg = contrib.agg(
+        F.coalesce(F.sum("n_ct"), F.lit(0)).alias("n_records"),
+        F.coalesce(F.sum("_p"), F.lit(0.0)).alias("_sp"),
+        F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_sr"),
+    )
+    pr = F.coalesce(F.try_divide(F.col("_sp"), F.col("n_records")), F.lit(0.0))
+    rc = F.coalesce(F.try_divide(F.col("_sr"), F.col("n_records")), F.lit(0.0))
+    f1 = F.when(pr + rc == 0, F.lit(0.0)).otherwise(2.0 * pr * rc / (pr + rc))
+    return agg.select(
+        "n_records",
+        pr.alias("bcubed_precision"),
+        rc.alias("bcubed_recall"),
+        f1.alias("bcubed_f1"),
+    )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    labeled: DataFrame,
+    n_records: int,
+) -> DataFrame:
+    """Blocking-stage quality: pair completeness and reduction ratio
+    (Christen 2012) — evaluates candidate GENERATION, where pairwise_prf
+    evaluates the final match decision.
+
+    pair_completeness = |candidates ∩ true matches| / |true matches|
+      (the recall ceiling of everything downstream: a true pair the
+      blocker never emits can never be matched), and
+    reduction_ratio  = 1 − |candidates| / (n(n−1)/2)
+      (the fraction of the quadratic comparison space the blocker
+      avoided — the whole point of blocking at 10^12 files).
+
+    candidates: (left_id, right_id) from candidate_pairs / run_linkage's
+    pair table. labeled: (left_id, right_id, is_match) ground truth.
+    Pair order is normalized on both sides, so (a,b) and (b,a) match.
+    One left semi-join on the (small) labeled side + two counts.
+    """
+    def _norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least("left_id", "right_id").alias("left_id"),
+            F.greatest("left_id", "right_id").alias("right_id"),
+            *[c for c in df.columns if c not in ("left_id", "right_id")],
+        )
+
+    cand = _norm(candidates.select("left_id", "right_id")).distinct()
+    true_pairs = _norm(labeled).filter(F.col("is_match")).select("left_id", "right_id").distinct()
+    found = true_pairs.join(cand, ["left_id", "right_id"], "left_semi")
+    n_cand = cand.count()
+    n_true = true_pairs.count()
+    n_found = found.count()
+    total_space = n_records * (n_records - 1) / 2.0
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [(
+            n_cand,
+            n_true,
+            n_found,
+            (n_found / n_true) if n_true else 0.0,
+            (1.0 - n_cand / total_space) if total_space else 0.0,
+        )],
+        "n_candidates bigint, n_true_pairs bigint, n_true_found bigint, "
+        "pair_completeness double, reduction_ratio double",
+    )

@@ -328,6 +328,11 @@ def run_linkage(
         "scored": scored,
         "edges": edges,
         "clusters": clusters,
+        # exact-prededup lineage (None when cfg.exact_prededup is off):
+        # (id_col, _rep_id) — needed to evaluate the BLOCKING stage
+        # (metrics.blocking_quality) in representative space, since true
+        # pairs between byte-identical files never enter the pair table
+        "file2rep": file2rep,
         # cached inputs of THIS run; callers that loop (streaming) must
         # unpersist these once the run's outputs are materialized
         "_persisted": persisted,

@@ -8,7 +8,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from cogie_spark.operators.metrics import fbeta_by_class, fbeta_summary, tuple_prf
+from cogie_spark.operators.metrics import (
+    bcubed,
+    blocking_quality,
+    fbeta_by_class,
+    fbeta_summary,
+    tuple_prf,
+)
 from cogie_spark.operators.spans import SCHEMES, tag_spans_decode
 from cogie_spark.operators.typing import threshold_labels
 
@@ -268,3 +274,82 @@ def test_fbeta_multilabel_hand_values(spark):
     assert got["a"]["tp"] == 1 and got["a"]["pred_n"] == 2 and got["a"]["true_n"] == 2
     assert abs(got["a"]["precision"] - 0.5) < 1e-12 and abs(got["a"]["fbeta"] - 0.5) < 1e-12
     assert got["b"]["fbeta"] == 1.0
+
+
+def test_bcubed_hand_case(spark):
+    # Classic Amigo et al. example shape: gold entities
+    #   e1 = {1,2,3,4,5}, e2 = {6,7}, pred clusters c1 = {1,2,3,4,6},
+    #   c2 = {5,7}.
+    # Per record: P_i = |C∩T|/|C|, R_i = |C∩T|/|T|
+    #   1-4: P=4/5 R=4/5  | 6: P=1/5 R=1/2
+    #   5:   P=1/2 R=1/5  | 7: P=1/2 R=1/2
+    clusters = spark.createDataFrame(
+        [(i, "c1") for i in (1, 2, 3, 4, 6)] + [(i, "c2") for i in (5, 7)],
+        "file_id int, cluster_id string",
+    )
+    truth = spark.createDataFrame(
+        [(i, "e1") for i in (1, 2, 3, 4, 5)] + [(i, "e2") for i in (6, 7)],
+        "file_id int, entity_id string",
+    )
+    row = bcubed(clusters, truth).collect()[0]
+    exp_p = (4 * (4 / 5) + 1 / 5 + 1 / 2 + 1 / 2) / 7
+    exp_r = (4 * (4 / 5) + 1 / 2 + 1 / 5 + 1 / 2) / 7
+    assert row["n_records"] == 7
+    assert abs(row["bcubed_precision"] - exp_p) < 1e-12
+    assert abs(row["bcubed_recall"] - exp_r) < 1e-12
+    f1 = 2 * exp_p * exp_r / (exp_p + exp_r)
+    assert abs(row["bcubed_f1"] - f1) < 1e-12
+
+
+def test_bcubed_perfect_and_random_parity(spark):
+    import random
+
+    # perfect clustering -> all three metrics exactly 1.0
+    rows = [(i, f"e{i % 3}") for i in range(9)]
+    truth = spark.createDataFrame(rows, "file_id int, entity_id string")
+    perfect = truth.select("file_id", F.col("entity_id").alias("cluster_id"))
+    row = bcubed(perfect, truth).collect()[0]
+    assert row["bcubed_precision"] == 1.0 and row["bcubed_recall"] == 1.0
+
+    # random instance vs a naive per-record Python computation
+    rng = random.Random(7)
+    n = 60
+    t = {i: rng.randrange(8) for i in range(n)}
+    c = {i: rng.randrange(10) for i in range(n)}
+    exp_p = exp_r = 0.0
+    for i in range(n):
+        same_c = [j for j in range(n) if c[j] == c[i]]
+        same_t = [j for j in range(n) if t[j] == t[i]]
+        inter = len(set(same_c) & set(same_t))
+        exp_p += inter / len(same_c)
+        exp_r += inter / len(same_t)
+    exp_p /= n
+    exp_r /= n
+    clusters = spark.createDataFrame(
+        [(i, str(c[i])) for i in range(n)], "file_id int, cluster_id string"
+    )
+    truth = spark.createDataFrame(
+        [(i, str(t[i])) for i in range(n)], "file_id int, entity_id string"
+    )
+    got = bcubed(clusters, truth).collect()[0]
+    assert abs(got["bcubed_precision"] - exp_p) < 1e-9
+    assert abs(got["bcubed_recall"] - exp_r) < 1e-9
+
+
+def test_blocking_quality_hand_case(spark):
+    # 6 records; true matches {1-2, 3-4, 5-6}; blocker emitted
+    # (2,1) dup/reversed, (3,4), (1,5) false, (2,6) false -> 4 distinct
+    # candidates covering 2 of 3 true pairs.
+    cand = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 4), (1, 5), (2, 6)], "left_id int, right_id int"
+    )
+    lab = spark.createDataFrame(
+        [(1, 2, True), (4, 3, True), (5, 6, True), (1, 3, False)],
+        "left_id int, right_id int, is_match boolean",
+    )
+    row = blocking_quality(cand, lab, n_records=6).collect()[0]
+    assert row["n_candidates"] == 4
+    assert row["n_true_pairs"] == 3
+    assert row["n_true_found"] == 2
+    assert abs(row["pair_completeness"] - 2 / 3) < 1e-12
+    assert abs(row["reduction_ratio"] - (1 - 4 / 15)) < 1e-12

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from cogie_spark.fixtures.codefiles import code_files, labeled_pairs
 from cogie_spark.operators.cc import connected_components
-from cogie_spark.operators.metrics import pairwise_prf
+from cogie_spark.operators.metrics import bcubed, blocking_quality, pairwise_prf
 from cogie_spark.plans.linkage import (
     LinkageConfig,
     predicted_pairs_from_clusters,
@@ -51,6 +51,34 @@ def test_flagship_f1(spark):
     assert m["f1"] >= 0.99, m
     # every input file got a cluster
     assert out["clusters"].count() == engine_input.count()
+    # per-record view of the same run: B-cubed weights every member
+    # equally (pairwise F1 weights big clusters quadratically), so a
+    # high score on BOTH rules out the quadratic metric masking
+    # mis-clustered singletons
+    truth = files.select("file_id", F.col("group_id").alias("entity_id"))
+    b3 = bcubed(out["clusters"], truth).collect()[0]
+    assert b3["bcubed_f1"] >= 0.99, dict(b3.asDict())
+    # blocking stage, evaluated in REPRESENTATIVE space: exact prededup
+    # resolves byte-identical true pairs before blocking (they map to
+    # the same rep), so pair completeness is over rep-distinct true
+    # pairs vs the candidate table
+    f2r = out["file2rep"]
+    lp_rep = (
+        lp.filter("is_match")
+        .join(f2r.toDF("left_id", "_rl"), "left_id")
+        .join(f2r.toDF("right_id", "_rr"), "right_id")
+        .filter("_rl != _rr")
+        .select(
+            F.least("_rl", "_rr").alias("left_id"),
+            F.greatest("_rl", "_rr").alias("right_id"),
+            F.lit(True).alias("is_match"),
+        )
+        .distinct()
+    )
+    n_reps = f2r.select("_rep_id").distinct().count()
+    bq = blocking_quality(out["pairs"], lp_rep, n_records=n_reps).collect()[0]
+    assert bq["pair_completeness"] >= 0.99, dict(bq.asDict())
+    assert bq["reduction_ratio"] >= 0.9, dict(bq.asDict())
 
 
 def test_blocking_recall(spark):
