@@ -26,6 +26,13 @@ def main() -> None:
     ap.add_argument("--input", default=None, help="parquet dir of code_files rows (overrides --groups)")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--threshold", type=float, default=0.72)
+    ap.add_argument(
+        "--evaluate",
+        action="store_true",
+        help="grade the run against fixture truth: pairwise F1, B-cubed "
+        "F1, blocking pair-completeness/reduction-ratio (requires the "
+        "generated fixture, i.e. --groups mode, not --input)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -36,9 +43,13 @@ def main() -> None:
     from cogie_spark.io.tableio import CheckpointManager
     from cogie_spark.plans.linkage import LinkageConfig, run_linkage
 
-    files = (
-        spark.read.parquet(args.input) if args.input else code_files(spark, args.groups, args.seed)
-    )
+    if args.input:
+        files = truth_files = spark.read.parquet(args.input)
+    else:
+        truth_files = code_files(spark, args.groups, args.seed, with_truth=args.evaluate)
+        files = (
+            truth_files.drop("group_id", "member_idx") if args.evaluate else truth_files
+        )
     ck = CheckpointManager(spark, args.checkpoint) if args.checkpoint else None
     t0 = time.time()
     out = run_linkage(files, LinkageConfig(threshold=args.threshold), checkpoint=ck)
@@ -53,6 +64,38 @@ def main() -> None:
         "pairs_scored": out["scored"].count(),
         "wall_sec": round(time.time() - t0, 2),
     }
+    if args.evaluate and not args.input:
+        from pyspark.sql import functions as F
+
+        from cogie_spark.fixtures.codefiles import labeled_pairs
+        from cogie_spark.operators.metrics import bcubed, blocking_quality, pairwise_prf
+        from cogie_spark.plans.linkage import predicted_pairs_from_clusters
+
+        lp = labeled_pairs(truth_files).cache()
+        stats["pairwise"] = pairwise_prf(predicted_pairs_from_clusters(clusters), lp)
+        truth = truth_files.select("file_id", F.col("group_id").alias("entity_id"))
+        stats["bcubed"] = bcubed(clusters, truth).collect()[0].asDict()
+        f2r = out["file2rep"]
+        lp_eval, n_rec = lp, files.count()
+        if f2r is not None:
+            # blocking is evaluated in representative space: true pairs
+            # between byte-identical files were resolved by prededup
+            lp_eval = (
+                lp.filter("is_match")
+                .join(f2r.toDF("left_id", "_rl"), "left_id")
+                .join(f2r.toDF("right_id", "_rr"), "right_id")
+                .filter("_rl != _rr")
+                .select(
+                    F.least("_rl", "_rr").alias("left_id"),
+                    F.greatest("_rl", "_rr").alias("right_id"),
+                    F.lit(True).alias("is_match"),
+                )
+                .distinct()
+            )
+            n_rec = f2r.select("_rep_id").distinct().count()
+        stats["blocking"] = (
+            blocking_quality(out["pairs"], lp_eval, n_records=n_rec).collect()[0].asDict()
+        )
     print(json.dumps(stats))
     spark.stop()
 
