@@ -16,6 +16,19 @@ touches paths directly.
 Also maintains the north rule's per-stage observability tables:
 - ``metrics``  : append-only (stage, iteration, key, value, ts)
 - ``lineage``  : per-commit (stage, iteration, rows, input_fingerprint)
+- ``lineage_partitions`` : per-PARTITION lineage of every committed
+  snapshot (stage, iteration, file, rows, fingerprint) — one row per
+  parquet file, with an order-insensitive ``bit_xor(xxhash64(*cols))``
+  content fingerprint. The per-file xor composes: xor-ing all file
+  fingerprints of a snapshot yields a whole-table fingerprint that is
+  invariant to how rows were assigned to partitions, so two commits of
+  the same logical table compare equal even across different
+  partitionings. Per-file ROW COUNTS ride the parquet rowgroup fast
+  path (count(1) reads no column data); content FINGERPRINTS add one
+  read of the freshly-written snapshot (page-cache-hot right after the
+  write) and can be disabled per manager
+  (``partition_fingerprints=False``) when commit latency matters more
+  than content verifiability.
 """
 
 from __future__ import annotations
@@ -112,9 +125,12 @@ class TableIO:
 class CheckpointManager:
     """Committed, resumable snapshots per pipeline stage."""
 
-    def __init__(self, spark: SparkSession, base: str):
+    def __init__(
+        self, spark: SparkSession, base: str, partition_fingerprints: bool = True
+    ):
         self.spark = spark
         self.base, self._base_str = _init_base(spark, base)
+        self.partition_fingerprints = partition_fingerprints
 
     def path(self, *names: str) -> str:
         return fsio.join(self._base_str, *names)
@@ -151,7 +167,8 @@ class CheckpointManager:
         """
         snap_dir = self.path(stage, f"snap_{iteration:05d}")
         df.write.mode("overwrite").parquet(snap_dir)
-        rows = self.spark.read.parquet(snap_dir).count()
+        part_stats = self._partition_stats(self.spark.read.parquet(snap_dir))
+        rows = sum(r["rows"] for r in part_stats)
         manifest = self._read_manifest(stage)
         manifest["commits"].append(
             {
@@ -164,7 +181,32 @@ class CheckpointManager:
         )
         self._publish(stage, manifest)
         self._append_lineage(stage, iteration, rows, input_fingerprint)
+        self._append_partition_lineage(stage, iteration, part_stats)
         return self.spark.read.parquet(str(snap_dir))
+
+    def _partition_stats(self, snap: DataFrame) -> list:
+        """Per-file (rows, fingerprint) of a written snapshot in ONE
+        distributed agg — one output row per parquet file, so the
+        driver-side list is bounded by the snapshot's partition count
+        (which the engine controls), never its row count. The
+        fingerprint is ``bit_xor(xxhash64(*cols))`` — order-insensitive
+        within a file, and xor-composable across files into a
+        partitioning-invariant whole-table fingerprint. Map-typed
+        columns are excluded (Spark cannot hash maps); with
+        ``partition_fingerprints=False`` the fingerprint is NULL and
+        the agg degrades to the rowgroup-metadata count path."""
+        from pyspark.sql import functions as F
+
+        hashable = [c for c, t in snap.dtypes if not t.startswith("map<")]
+        if self.partition_fingerprints and hashable:
+            fp = F.bit_xor(F.xxhash64(*[F.col(c) for c in hashable]))
+        else:
+            fp = F.first(F.lit(None).cast("long"))
+        return (
+            snap.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("rows"), fp.alias("fingerprint"))
+            .collect()
+        )
 
     def latest(self, stage: str) -> tuple[DataFrame, int] | None:
         manifest = self._read_manifest(stage)
@@ -196,6 +238,34 @@ class CheckpointManager:
                 "ts": time.time(),
             },
         )
+
+    def _append_partition_lineage(self, stage, iteration, part_stats) -> None:
+        """North rule: per-PARTITION lineage. One parquet file appended
+        per commit (a single driver-built frame of one row per snapshot
+        file — no jsonl fan-out of O(files) tiny objects on object
+        stores). Only the basename of each snapshot file is stored so
+        the table stays valid if the checkpoint base is relocated."""
+        ts = time.time()
+        rows = [
+            (
+                str(stage),
+                int(iteration),
+                str(r["file"]).rsplit("/", 1)[-1],
+                int(r["rows"]),
+                None if r["fingerprint"] is None else int(r["fingerprint"]),
+                ts,
+            )
+            for r in part_stats
+        ]
+        sdf = self.spark.createDataFrame(
+            rows,
+            "stage string, iteration int, file string, rows long, "
+            "fingerprint long, ts double",
+        )
+        sdf.coalesce(1).write.mode("append").parquet(self.path("lineage_partitions"))
+
+    def partition_lineage_df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path("lineage_partitions"))
 
     def _append_jsonl(self, fname: str, rec: dict) -> None:
         # metrics/lineage are append-only logs. POSIX append is the fast

@@ -55,6 +55,51 @@ def test_metrics_and_lineage_tables(spark):
     assert ln[0]["rows"] == 1 and ln[0]["iteration"] == 1
 
 
+def test_partition_lineage_table(spark):
+    """Per-partition lineage (north rule): one row per snapshot parquet
+    file with rows + xor-composable content fingerprint; the xor of all
+    file fingerprints is invariant to how rows were partitioned."""
+    from functools import reduce
+
+    ck = CheckpointManager(spark, tempfile.mkdtemp(prefix="ck_pl_"))
+    data = [(i, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(data, ["k", "v"])
+    ck.commit("s", df.repartition(4), iteration=0)
+    # same logical table, different partitioning AND row order
+    ck.commit("s", df.repartition(7, "v"), iteration=1)
+    pl = ck.partition_lineage_df().collect()
+    by_iter = {
+        it: [r for r in pl if r["iteration"] == it and r["stage"] == "s"]
+        for it in (0, 1)
+    }
+    assert sum(r["rows"] for r in by_iter[0]) == 100
+    assert sum(r["rows"] for r in by_iter[1]) == 100
+    assert len(by_iter[0]) != len(by_iter[1])  # genuinely different layouts
+    assert all("/" not in r["file"] for r in pl)  # basenames only
+    fp0 = reduce(lambda a, b: a ^ b, (r["fingerprint"] for r in by_iter[0]))
+    fp1 = reduce(lambda a, b: a ^ b, (r["fingerprint"] for r in by_iter[1]))
+    assert fp0 == fp1  # partitioning-invariant whole-table fingerprint
+    # content change must move the composed fingerprint
+    ck.commit("s", df.where("k < 99"), iteration=2)
+    fp2 = reduce(
+        lambda a, b: a ^ b,
+        (
+            r["fingerprint"]
+            for r in ck.partition_lineage_df().collect()
+            if r["iteration"] == 2
+        ),
+    )
+    assert fp2 != fp0
+    # fingerprints off -> NULL fingerprint, rows still tracked
+    ck2 = CheckpointManager(
+        spark, tempfile.mkdtemp(prefix="ck_plo_"), partition_fingerprints=False
+    )
+    ck2.commit("s", df, iteration=0)
+    rows2 = ck2.partition_lineage_df().collect()
+    assert sum(r["rows"] for r in rows2) == 100
+    assert all(r["fingerprint"] is None for r in rows2)
+
+
 def test_bucketed_write_join_without_exchange(spark, tmp_path):
     """write_bucketed materializes the (lang, repo) composite-key layout
     the north rule names: two tables bucketed+sorted the same way join
