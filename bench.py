@@ -145,6 +145,8 @@ def main():
 
         probe_script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "scripts", "pagefault_probe.py")
+        bw_script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "scripts", "membw_probe.py")
 
         def _pf_probe():
             # window-quality reading (BASELINE.md host pathology): cold
@@ -160,13 +162,28 @@ def main():
             except Exception:
                 return None
 
+        def _bw_probe():
+            # bandwidth-BAND reading (BASELINE.md round-5 session-4):
+            # the page-fault probe measures fault LATENCY and can read
+            # clean while co-tenant streaming load has collapsed the
+            # DRAM band 50x (measured 0.03-0.3 GB/s vs ~2 GB/s/worker
+            # healthy) — gate on single-worker streaming GB/s directly.
+            try:
+                out = subprocess.run(
+                    [sys.executable, bw_script, "--quick"],
+                    capture_output=True, text=True, timeout=300,
+                )
+                return json.loads(out.stdout.strip().splitlines()[-1])["mem_gbps@1"]
+            except Exception:
+                return None
+
         result = {}
         for cores in (8, 32):
             cmd = []
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{cores - 1}"]
             cmd += [sys.executable, os.path.abspath(__file__), "--leg", str(cores)]
-            pf_before = _pf_probe()
+            pf_before, bw_before = _pf_probe(), _bw_probe()
             out = subprocess.run(
                 cmd, capture_output=True, text=True, env=dict(os.environ)
             )
@@ -174,12 +191,20 @@ def main():
             leg = json.loads(line)
             leg["cold_us_per_page_before"] = pf_before
             leg["cold_us_per_page_after"] = _pf_probe()
+            leg["mem_gbps_before"] = bw_before
+            leg["mem_gbps_after"] = _bw_probe()
             result[f"local[{cores}]"] = leg
         eff = (result["local[32]"]["pairs_per_sec"] / result["local[8]"]["pairs_per_sec"]) / 4.0
         result["scaling_efficiency_8_to_32"] = round(eff, 3)
         probes = [result[k][f"cold_us_per_page_{w}"] for k in ("local[8]", "local[32]")
                   for w in ("before", "after")]
+        bws = [result[k][f"mem_gbps_{w}"] for k in ("local[8]", "local[32]")
+               for w in ("before", "after")]
+        bw_floor = float(os.environ.get("COGIE_BW_FLOOR_GBPS", "1.0"))
         result["window_clean"] = all(p is not None and p < 10 for p in probes)
+        # band_ok is the STRONGER gate: a pair is only cross-comparable
+        # to other pairs when both legs ran in a healthy bandwidth band
+        result["band_ok"] = all(b is not None and b >= bw_floor for b in bws)
         print(json.dumps(result))
         return
 

@@ -61,7 +61,19 @@ def measure(n_workers: int, size_floats: int, seconds: float) -> float:
     return total / (time.time() - t0) / 1e9  # GB/s aggregate
 
 
+def quick_mem_gbps(seconds: float = 2.0) -> float:
+    """ONE pinned worker, DRAM-resident working set (~768 MB touched
+    per round): the bandwidth-BAND gate for scaling legs. The round-5
+    session-4 pair showed the page-fault probe (fault latency) can read
+    clean while co-tenant streaming load drops the DRAM band 50x — this
+    2-second single-point probe catches that directly."""
+    return measure(1, 32 * 1024 * 1024, seconds)
+
+
 def main() -> None:
+    if "--quick" in sys.argv:
+        print(json.dumps({"mem_gbps@1": round(quick_mem_gbps(), 2)}))
+        return
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
     points = {}
     for label, size in (("cache", 32 * 1024), ("mem", 32 * 1024 * 1024)):
