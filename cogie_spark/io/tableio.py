@@ -28,7 +28,9 @@ Also maintains the north rule's per-stage observability tables:
   read of the freshly-written snapshot (page-cache-hot right after the
   write) and can be disabled per manager
   (``partition_fingerprints=False``) when commit latency matters more
-  than content verifiability.
+  than content verifiability — measured +57% per commit at 2M rows x 3
+  cols on a degraded-band host (3.86 vs 2.46 s), less in a healthy band
+  where the write itself dominates.
 """
 
 from __future__ import annotations
