@@ -226,13 +226,30 @@ def main():
         except Exception:
             return None
 
+    def _bw():
+        # DRAM-band reading (see --scaling's band_ok): recorded, not
+        # gated — the headline numbers must still print in a bad band,
+        # just readable as band-degraded from the artifact alone
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+            )
+            from membw_probe import quick_mem_gbps
+
+            return round(quick_mem_gbps(), 2)
+        except Exception:
+            return None
+
     probes = [_probe()]
+    bands = [_bw()]
     timings, extras = run_once(f"local[{cpus}]", sf_dir, n_groups, int(cpus))
     probes.append(_probe())
+    bands.append(_bw())
     attempts = 1
     if any(p is None or p > 10 for p in probes):
         timings2, extras2 = run_once(f"local[{cpus}]", sf_dir, n_groups, int(cpus))
         probes.append(_probe())
+        bands.append(_bw())
         attempts = 2
         if timings2["flagship_linkage"] < timings["flagship_linkage"]:
             extras = extras2
@@ -250,6 +267,7 @@ def main():
                 "pairs_scored_per_sec": extras["pairs_scored_per_sec"],
                 "clusters": extras["clusters"],
                 "pagefault_cold_us_per_page": probes,
+                "mem_gbps": bands,
                 "attempts": attempts,
             }
         )
