@@ -269,6 +269,68 @@ class CheckpointManager:
     def partition_lineage_df(self) -> DataFrame:
         return self.spark.read.parquet(self.path("lineage_partitions"))
 
+    def verify_commit(self, stage: str, iteration: int | None = None) -> dict:
+        """Resume-time content verification against the per-partition
+        lineage table (the consumer the table was built for): re-read a
+        committed snapshot, recompute each file's (rows, fingerprint)
+        with the same ONE-agg plan ``commit`` used, and compare
+        file-by-file against what was recorded at commit time.
+
+        Returns ``{"ok": bool, "files": n, "mismatched": [basename, ...],
+        "missing": [...], "unexpected": [...]}``. A bit-rotted, truncated,
+        or partially-overwritten snapshot surfaces as a named file list
+        instead of a silently-wrong resume. Cost is one page-cache-class
+        scan of the snapshot — the same price ``commit`` paid — so it is
+        an opt-in resume guard, not an always-on tax. With
+        ``partition_fingerprints=False`` at commit time the recorded
+        fingerprints are NULL and only row counts are compared.
+        """
+        from pyspark.sql import functions as F
+
+        manifest = self._read_manifest(stage)
+        if not manifest["commits"]:
+            raise ValueError(f"no commits for stage {stage!r}")
+        commits = manifest["commits"]
+        if iteration is None:
+            last = commits[-1]
+        else:
+            matches = [c for c in commits if int(c["iteration"]) == iteration]
+            if not matches:
+                raise ValueError(f"stage {stage!r} has no commit at iteration {iteration}")
+            last = matches[-1]
+        it = int(last["iteration"])
+        live = {
+            str(r["file"]).rsplit("/", 1)[-1]: (int(r["rows"]), r["fingerprint"])
+            for r in self._partition_stats(self.spark.read.parquet(last["path"]))
+        }
+        recorded = {
+            r["file"]: (int(r["rows"]), r["fingerprint"])
+            for r in self.partition_lineage_df()
+            .where((F.col("stage") == stage) & (F.col("iteration") == it))
+            .collect()
+        }
+        mismatched = sorted(
+            f
+            for f in live.keys() & recorded.keys()
+            if live[f][0] != recorded[f][0]
+            or (
+                recorded[f][1] is not None
+                and live[f][1] is not None
+                and int(live[f][1]) != int(recorded[f][1])
+            )
+        )
+        missing = sorted(recorded.keys() - live.keys())
+        unexpected = sorted(live.keys() - recorded.keys())
+        return {
+            "ok": not (mismatched or missing or unexpected),
+            "stage": stage,
+            "iteration": it,
+            "files": len(recorded),
+            "mismatched": mismatched,
+            "missing": missing,
+            "unexpected": unexpected,
+        }
+
     def _append_jsonl(self, fname: str, rec: dict) -> None:
         # metrics/lineage are append-only logs. POSIX append is the fast
         # local path; object stores have no append, so URI bases write

@@ -25,6 +25,14 @@ def main() -> None:
     ap.add_argument("--output", default=None)
     ap.add_argument("--input", default=None, help="parquet dir of code_files rows (overrides --groups)")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--verify-lineage",
+        action="store_true",
+        help="after the run, re-read every committed stage and verify "
+        "per-file row counts + content fingerprints against the "
+        "lineage_partitions table (CheckpointManager.verify_commit); "
+        "requires --checkpoint",
+    )
     ap.add_argument("--threshold", type=float, default=0.72)
     ap.add_argument(
         "--evaluate",
@@ -96,6 +104,16 @@ def main() -> None:
         stats["blocking"] = (
             blocking_quality(out["pairs"], lp_eval, n_records=n_rec).collect()[0].asDict()
         )
+    if args.verify_lineage and ck is not None:
+        # every stage that committed at least once gets verified; a
+        # mismatched/missing file list in the output is the operator's
+        # cue NOT to resume from that snapshot
+        stages = [
+            s
+            for s in ("pairs", "scored", "cc_edges", "clusters")
+            if ck._read_manifest(s)["commits"]
+        ]
+        stats["lineage_verify"] = {s: ck.verify_commit(s) for s in stages}
     print(json.dumps(stats))
     spark.stop()
 

@@ -141,3 +141,43 @@ def test_bucketed_write_join_without_exchange(spark, tmp_path):
 
     # round-trip values survive the bucketed layout
     assert io.read_bucketed("catalog").count() == files.count()
+
+
+def test_verify_commit_detects_corruption(spark):
+    """verify_commit: a clean snapshot verifies ok; a rewritten snapshot
+    file (same name, different rows) is named in `mismatched`; a deleted
+    file in `missing`; an extra file in `unexpected`."""
+    import os
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="ck_ver_")
+    ck = CheckpointManager(spark, base)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)], ["k", "v"])
+    ck.commit("s", df.repartition(3), iteration=0)
+    ck.commit("s", df.repartition(3), iteration=1)
+
+    res = ck.verify_commit("s")
+    assert res["ok"] and res["iteration"] == 1 and res["files"] >= 1
+    assert ck.verify_commit("s", iteration=0)["ok"]
+
+    snap = os.path.join(base, "s", "snap_00001")
+    parts = sorted(f for f in os.listdir(snap) if f.endswith(".parquet"))
+    assert len(parts) >= 2
+    # corrupt: overwrite one file with another's bytes (valid parquet,
+    # wrong content — the realistic partial-overwrite failure). The
+    # local FS keeps Hadoop .crc sidecars; overwrite those in step so
+    # the read itself succeeds and verify_commit does the detection.
+    shutil.copyfile(os.path.join(snap, parts[0]), os.path.join(snap, parts[1]))
+    crc0, crc1 = (os.path.join(snap, f".{p}.crc") for p in (parts[0], parts[1]))
+    if os.path.exists(crc0):
+        shutil.copyfile(crc0, crc1)
+    res = ck.verify_commit("s", iteration=1)
+    assert not res["ok"]
+    assert parts[1] in res["mismatched"] or parts[1] in res["unexpected"]
+    # earlier commit is untouched and still verifies
+    assert ck.verify_commit("s", iteration=0)["ok"]
+
+    # delete a file -> missing
+    os.remove(os.path.join(snap, parts[0]))
+    res = ck.verify_commit("s", iteration=1)
+    assert not res["ok"] and parts[0] in res["missing"]
