@@ -210,6 +210,37 @@ class CheckpointManager:
             .collect()
         )
 
+    def expire(self, stage: str, keep_last: int = 1) -> list[int]:
+        """Snapshot retention: drop all but the newest ``keep_last``
+        commits of a stage — prune the manifest FIRST (publish is the
+        commit point; a crash after it leaves unreferenced dirs that a
+        re-run of expire removes), then delete the superseded snapshot
+        dirs through the Hadoop FS API. Iterative stages (CC commits one
+        snapshot per round) otherwise accumulate O(iterations) copies of
+        the edge set — at 10^12-file scale that is the storage bill.
+        The lineage/metrics logs are history, not state: never pruned.
+        Returns the expired iteration numbers. Snapshots still
+        referenced by the manifest are never touched, so ``latest`` and
+        ``verify_commit`` keep working on everything retained.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        manifest = self._read_manifest(stage)
+        commits = manifest["commits"]
+        if len(commits) <= keep_last:
+            return []
+        drop, keep = commits[:-keep_last], commits[-keep_last:]
+        self._publish(stage, {**manifest, "commits": keep})
+        kept_paths = {c["path"] for c in keep}
+        expired = []
+        for c in drop:
+            # a re-commit at the same iteration reuses the dir; never
+            # delete a path a retained commit still references
+            if c["path"] not in kept_paths:
+                fsio.delete(self.spark, c["path"], recursive=True)
+            expired.append(int(c["iteration"]))
+        return expired
+
     def latest(self, stage: str) -> tuple[DataFrame, int] | None:
         manifest = self._read_manifest(stage)
         if not manifest["commits"]:

@@ -181,3 +181,36 @@ def test_verify_commit_detects_corruption(spark):
     os.remove(os.path.join(snap, parts[0]))
     res = ck.verify_commit("s", iteration=1)
     assert not res["ok"] and parts[0] in res["missing"]
+
+
+def test_expire_retains_latest_and_deletes_old_snapshots(spark):
+    """expire(keep_last=k): manifest pruned first, superseded snapshot
+    dirs deleted, latest/verify_commit unaffected on retained commits;
+    same-iteration re-commits (shared dir) are never deleted."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="ck_exp_")
+    ck = CheckpointManager(spark, base)
+    df = spark.createDataFrame([(i,) for i in range(20)], ["k"])
+    for it in range(4):
+        ck.commit("s", df.where(f"k >= {it}"), iteration=it)
+
+    expired = ck.expire("s", keep_last=2)
+    assert expired == [0, 1]
+    assert not os.path.exists(os.path.join(base, "s", "snap_00000"))
+    assert not os.path.exists(os.path.join(base, "s", "snap_00001"))
+    cur, it = ck.latest("s")
+    assert it == 3 and cur.count() == 17
+    assert ck.verify_commit("s", iteration=2)["ok"]
+    assert ck.expire("s", keep_last=2) == []  # idempotent
+
+    # re-commit at iteration 3 (same dir) then expire keep_last=1:
+    # iterations 2 and old-3 are dropped, but old-3 references the SAME
+    # path as the retained commit — its dir must not be deleted
+    ck.commit("s", df.where("k >= 3"), iteration=3)
+    assert ck.expire("s", keep_last=1) == [2, 3]
+    assert not os.path.exists(os.path.join(base, "s", "snap_00002"))
+    cur, it = ck.latest("s")
+    assert it == 3 and cur.count() == 17
+    # lineage history is never pruned
+    assert ck.lineage_df().count() == 5
