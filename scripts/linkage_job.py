@@ -33,6 +33,14 @@ def main() -> None:
         "lineage_partitions table (CheckpointManager.verify_commit); "
         "requires --checkpoint",
     )
+    ap.add_argument(
+        "--expire-keep",
+        type=int,
+        default=0,
+        help="after the run (and any --verify-lineage pass), retain only "
+        "the newest K commits per stage and delete superseded snapshot "
+        "dirs (CheckpointManager.expire); 0 = keep everything",
+    )
     ap.add_argument("--threshold", type=float, default=0.72)
     ap.add_argument(
         "--evaluate",
@@ -114,6 +122,12 @@ def main() -> None:
             if ck._read_manifest(s)["commits"]
         ]
         stats["lineage_verify"] = {s: ck.verify_commit(s) for s in stages}
+    if args.expire_keep > 0 and ck is not None:
+        stats["expired"] = {
+            s: ck.expire(s, keep_last=args.expire_keep)
+            for s in ("pairs", "scored", "cc_edges", "clusters")
+            if ck._read_manifest(s)["commits"]
+        }
     print(json.dumps(stats))
     spark.stop()
 
