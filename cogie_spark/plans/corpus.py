@@ -1,0 +1,97 @@
+"""Composed training-corpus cleaning plan.
+
+The reference ships each text stage as a separate toolkit pass over the
+corpus (tokenize_toolkit.py, ner/el preprocessing each re-read their
+input). Here the whole quality gate is ONE declarative plan so Catalyst
+fuses it: language ID, quality features, Gopher repetition fractions,
+PII counts + redaction are all narrow projections and collapse into the
+SINGLE scan stage of the input; the only shuffle in the plan is the
+exact-dedup hash aggregation. At 100 TB that is the difference between
+reading the corpus once and reading it five times.
+
+Stage order (each is an operator this package already verifies alone):
+
+  documents
+    -> lang_id + quality_features + repetition_features   (narrow)
+    -> pii_counts + redact_pii                            (narrow)
+    -> keep flags (language / quality / repetition gates) (narrow)
+    -> exact dedup: window-min id per content sha256      (ONE shuffle)
+
+Returns the fully-tagged frame (every document, with its flags — the
+audit view a data pipeline keeps) and the kept frame (the training
+view). Near-dup pruning is deliberately NOT chained here: MinHash
+banding wants the post-gate corpus persisted, and its cost profile is
+a pipeline stage of its own (dedup.minhash_near_duplicates).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cogie_spark.operators.pii import pii_counts, redact_pii
+from cogie_spark.operators.textstats import (
+    lang_id,
+    quality_features,
+    repetition_features,
+)
+
+
+@dataclass
+class CorpusConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    # gates — published-filter-shaped defaults (Gopher table A1 uses
+    # 0.30 dup-line / 0.20 top-2gram; quality floor is this engine's
+    # composite score, not a learned classifier)
+    min_quality: float = 0.3
+    max_dup_line_frac: float = 0.30
+    max_top_2gram_char_frac: float = 0.20
+    langs: tuple[str, ...] = ()  # empty = keep every language
+    redact: bool = True
+
+
+def clean_corpus(docs: DataFrame, cfg: CorpusConfig | None = None) -> dict:
+    """Run the composed gate. Keys: ``tagged`` (every input row +
+    flag/feature columns), ``kept`` (gated + deduplicated, text replaced
+    by the redacted form when cfg.redact).
+    """
+    cfg = cfg or CorpusConfig()
+    t = cfg.text_col
+
+    tagged = quality_features(docs, text_col=t)
+    tagged = repetition_features(tagged, text_col=t, top_ngram_ns=(2,), dup_ngram_ns=())
+    tagged = pii_counts(tagged, text_col=t)
+    if cfg.redact:
+        tagged = redact_pii(tagged, text_col=t, out_col="_text_redacted")
+    tagged = tagged.withColumn("lang_pred", lang_id(t))
+
+    keep = (
+        (F.col("quality_score") >= cfg.min_quality)
+        & (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
+        & (F.col("top_2gram_char_frac") <= cfg.max_top_2gram_char_frac)
+    )
+    if cfg.langs:
+        keep = keep & F.col("lang_pred").isin(*cfg.langs)
+    tagged = tagged.withColumn("keep", keep)
+
+    gated = tagged.filter("keep")
+    # exact dedup in the same min-id-per-content-hash shape as the
+    # flagship prededup (plans/linkage.py): keep the row whose id is the
+    # partition minimum over the content sha256. Window-min instead of
+    # groupBy + anti-join keeps the plan at ONE scan of the corpus and
+    # ONE shuffle (the groupBy/anti-join form re-reads the gated corpus
+    # for the agg build AND the join probe — three scans at 100 TB).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2(F.col(t), 256))
+    kept = (
+        gated.withColumn("_min_id", F.min(cfg.id_col).over(w))
+        .filter(F.col(cfg.id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    if cfg.redact:
+        kept = kept.withColumn(t, F.col("_text_redacted")).drop("_text_redacted")
+    return {"tagged": tagged, "kept": kept}
