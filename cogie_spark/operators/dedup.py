@@ -171,13 +171,7 @@ def ngram_jaccard_pairs(
     DROPPED and the drop count is logged here (north rule: no silent
     caps — on boilerplate-heavy corpora raise the cap or pre-dedup).
     """
-    toks = tokens(text_col)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    grams = _word_ngrams(text_col, n)
     scope_cols = [scope_col] if scope_col else []
     side = df.select(
         F.col(id_col).alias("_id"),
@@ -275,14 +269,12 @@ def ngram_jaccard_pairs(
 def _word_ngrams(text_col: str, n: int):
     """Distinct word n-grams as an array column (same windowing as
     ngram_jaccard_pairs and the DuckDB oracle helpers: a doc shorter
-    than n tokens yields its single truncated gram)."""
-    toks = tokens(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    than n tokens yields its single truncated gram). Delegates to the
+    inline-safe linear functions.text.word_ngrams (the in-lambda
+    slice form this wrapped re-tokenized per gram)."""
+    from cogie_spark.functions.text import word_ngrams
+
+    return word_ngrams(text_col, n=n, distinct=True)
 
 
 def contamination_tags(

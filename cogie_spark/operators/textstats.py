@@ -102,23 +102,77 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
-def _dup_flags(srt: Column, n: Column) -> Column:
+def _neighbor_dup_flags(srt: Column) -> Column:
     """Per-position 'value occurs more than once' flags over a SORTED
-    array: element i is a duplicate occurrence iff it equals a
-    neighbor. ``F.get`` (0-based) returns NULL out of bounds instead of
-    the ANSI INVALID_ARRAY_INDEX error ``element_at`` raises, so the
-    boundary probes need no branches. Guarded sequence: sequence(0,-1)
-    would auto-step DOWN and yield [0,-1], so the empty-array case pins
-    the upper bound at 0 (the single probe coalesces to false)."""
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(1), F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.coalesce(
-            (F.get(srt, i) == F.get(srt, i - F.lit(1)))
-            | (F.get(srt, i) == F.get(srt, i + F.lit(1))),
-            F.lit(False),
-        ),
+    array: element i is a duplicate occurrence iff it equals the
+    previous or next element. Built exclusively from whole-array ops —
+    every reference to the array sits in an ARGUMENT position (shifted
+    slices zipped positionally), never inside a lambda body, so the
+    flags stay O(n) per row even after an optimizer rule (filter
+    pushdown substituting a ``keep`` predicate, CollapseProject) inlines
+    this expression somewhere the old index-probe form (``F.get(srt, i)``
+    in a transform body) degraded to per-element re-evaluation of the
+    whole sort subtree — O(n^2 log n), the observed 330 ms/doc hang when
+    clean_corpus filtered on these columns."""
+    n = F.size(srt)
+    tail = F.greatest(n - F.lit(1), F.lit(0))
+    null1 = F.array(F.lit(None).cast("string"))
+    prev = F.concat(null1, F.slice(srt, 1, tail))
+    nxt = F.concat(F.slice(srt, 2, tail), null1)
+    flags = F.transform(
+        F.arrays_zip(srt.alias("c"), prev.alias("p"), nxt.alias("x")),
+        lambda s: F.coalesce(s["c"] == s["p"], F.lit(False))
+        | F.coalesce(s["c"] == s["x"], F.lit(False)),
     )
+    # n == 0: the padded prev/next are [null] and would zip to one
+    # spurious position
+    return F.when(n == F.lit(0), F.array().cast("array<boolean>")).otherwise(flags)
+
+
+def _top_run(srt: Column) -> Column:
+    """struct(cnt, len) of the most frequent element of a SORTED array
+    (ties -> longer element, matching array_max over struct(cnt, len))
+    via ONE O(n) aggregate fold. The fold body references only the
+    accumulator and the element, so it is inline-safe like
+    :func:`_neighbor_dup_flags` — and it replaces the run-boundary
+    index arithmetic (starts/ends slices probing ``srt`` inside lambda
+    bodies) that was not."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("best_cnt"),
+        F.lit(0).cast("long").alias("best_len"),
+    )
+
+    def _close(acc):
+        # fold the just-finished run (acc.prev x acc.cnt) into the best
+        clen = F.coalesce(F.length(acc["prev"]).cast("long"), F.lit(0).cast("long"))
+        better = acc["prev"].isNotNull() & (
+            (acc["cnt"] > acc["best_cnt"])
+            | ((acc["cnt"] == acc["best_cnt"]) & (clen > acc["best_len"]))
+        )
+        return (
+            F.when(better, acc["cnt"]).otherwise(acc["best_cnt"]),
+            F.when(better, clen).otherwise(acc["best_len"]),
+        )
+
+    def _merge(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        bc, bl = _close(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["cnt"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cnt"),
+            F.when(same, acc["best_cnt"]).otherwise(bc).alias("best_cnt"),
+            F.when(same, acc["best_len"]).otherwise(bl).alias("best_len"),
+        )
+
+    def _finish(acc):
+        bc, bl = _close(acc)
+        return F.struct(bc.alias("cnt"), bl.alias("len"))
+
+    return F.aggregate(srt, init, _merge, _finish)
 
 
 def _arr_sum(arr: Column) -> Column:
@@ -152,15 +206,19 @@ def repetition_features(
     overlap approximation can push above 1 on pathological inputs — cap
     at 1.0 like the published filter does.
 
-    PERF INVARIANT (the 100 TB consideration): every array a lambda
-    probes element-wise is staged as a REAL column first. A bare
-    ``F.get(array_sort(...), i)`` inside transform/filter inlines the
-    whole sort subtree into the lambda body, and Spark re-evaluates
-    lambda subexpressions PER ELEMENT — O(G² log G) per row, a hang on
-    kilobyte documents (observed, not hypothetical). Staged columns
-    make the probes O(1) GetArrayItem on an attribute reference; the
-    multi-reference aliases also stop CollapseProject from re-inlining
-    them.
+    INLINE-SAFETY INVARIANT (the 100 TB consideration): every lambda
+    body in this operator references ONLY its lambda arguments — never
+    an outer array expression. Interpreted HOFs re-evaluate body
+    subtrees PER ELEMENT, so a body reference to the sorted-gram array
+    means re-sorting (and re-tokenizing) the document once per element:
+    O(G² log G) per row, an observed hang on kilobyte documents. Column
+    staging alone (the previous defense) is NOT sufficient — predicate
+    pushdown substitutes the staged aliases straight into a downstream
+    filter (e.g. clean_corpus's `keep` gate), rebuilding the quadratic
+    form (observed: 330 ms/doc). Neighbor comparisons are therefore
+    shifted-slice zips and the top-run scan is an aggregate fold, both
+    of which keep every array reference in argument position; the
+    staged columns remain as a constant-factor economy only.
     """
     from cogie_spark.functions.text import word_ngrams
 
@@ -171,7 +229,7 @@ def repetition_features(
     out = df.withColumn("_rl_lsrt", F.array_sort(lines))
     lsrt = F.col("_rl_lsrt")
     nl = F.size(lsrt)
-    out = out.withColumn("_rl_lflags", _dup_flags(lsrt, nl))
+    out = out.withColumn("_rl_lflags", _neighbor_dup_flags(lsrt))
     lflags = F.col("_rl_lflags")
     dup_lines = _arr_sum(F.transform(lflags, lambda b: b.cast("int")))
     dup_line_chars = _arr_sum(
@@ -190,40 +248,28 @@ def repetition_features(
     temps = ["_rl_lsrt", "_rl_lflags"]
 
     for n in sorted(set(top_ngram_ns) | set(dup_ngram_ns)):
-        scol, rcol = f"_rl_srt_{n}", f"_rl_runs_{n}"
-        temps += [scol, rcol]
+        scol = f"_rl_srt_{n}"
+        temps += [scol]
         out = out.withColumn(scol, F.array_sort(word_ngrams(text, n=n, distinct=False)))
         srt = F.col(scol)
-        ng = F.size(srt)
-        starts = F.filter(
-            F.sequence(F.lit(0), F.greatest(ng - F.lit(1), F.lit(0))),
-            lambda i: (i == F.lit(0)) | (F.get(srt, i) != F.get(srt, i - F.lit(1))),
-        )
-        # run structs (cnt, len): occurrences and char length of each
-        # distinct gram — ends are the next run's start (last run: ng)
-        runs = F.zip_with(
-            starts,
-            F.concat(
-                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-                F.array(ng),
-            ),
-            lambda s, e: F.struct(
-                (e - s).cast("long").alias("cnt"),
-                F.length(F.get(srt, s)).cast("long").alias("len"),
-            ),
-        )
-        out = out.withColumn(rcol, runs)
         if n in top_ngram_ns:
-            top = F.array_max(F.col(rcol))
+            top = _top_run(srt)
             out = out.withColumn(
                 f"top_{n}gram_char_frac",
                 F.round(F.least((top["cnt"] * top["len"]) / n_chars, F.lit(1.0)), 6),
             )
         if n in dup_ngram_ns:
+            # chars of elements inside duplicated runs == sum over dup
+            # runs of cnt x len (each of the run's cnt elements
+            # contributes len once) — the documented per-gram
+            # overlapping-occurrence upper bound, run-arithmetic-free
             dup_chars = _arr_sum(
-                F.transform(
-                    F.col(rcol),
-                    lambda r: F.when(r["cnt"] > 1, r["cnt"] * r["len"]).otherwise(F.lit(0)),
+                F.zip_with(
+                    srt,
+                    _neighbor_dup_flags(srt),
+                    lambda x, b: F.when(b, F.length(x).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    ),
                 )
             )
             out = out.withColumn(
@@ -252,7 +298,15 @@ def winnow_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> Colu
 
     hashes = F.transform(char_shingles(text, k=k, distinct=False), base_hash28)
     n = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    # windowed minima as `window` shifted slices zipped + least():
+    # inline-safe (see repetition_features INLINE-SAFETY) — the previous
+    # array_min(F.slice(hashes, i, window)) lambda body re-evaluated the
+    # whole shingle-hash array per window position, O(n^2 k) per row.
+    # least() skips the NULLs short tails zip to, matching array_min
+    # over the shorter boundary slices.
+    parts = [F.slice(hashes, 1 + j, n).alias(f"h{j}") for j in range(window)]
     mins = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.array_min(F.slice(hashes, i, window))
+        F.arrays_zip(*parts),
+        lambda s: F.least(*[s[f"h{j}"] for j in range(window)]),
     )
     return F.array_distinct(mins)

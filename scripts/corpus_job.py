@@ -1,0 +1,73 @@
+"""spark-submit entry point for the composed corpus-cleaning plan.
+
+    spark-submit --master local[32] \
+        --py-files /tmp/cogie_spark_pkg.zip \
+        scripts/corpus_job.py --input /data/documents --output /data/clean
+
+Tags every document (audit view), writes the gated + deduplicated +
+PII-redacted training view, and prints one JSON stats line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir with (doc_id, text) columns")
+    ap.add_argument("--output", default=None, help="parquet dir for the kept view")
+    ap.add_argument("--tagged-output", default=None, help="parquet dir for the audit view")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.30)
+    ap.add_argument("--max-top-2gram-char-frac", type=float, default=0.20)
+    ap.add_argument("--langs", default="", help="comma-separated language allowlist (empty = all)")
+    ap.add_argument("--no-redact", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("cogie_corpus").getOrCreate()
+
+    from cogie_spark.plans.corpus import CorpusConfig, clean_corpus
+
+    cfg = CorpusConfig(
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_2gram_char_frac=args.max_top_2gram_char_frac,
+        langs=tuple(s for s in args.langs.split(",") if s),
+        redact=not args.no_redact,
+    )
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    out = clean_corpus(docs, cfg)
+    if args.tagged_output:
+        out["tagged"].write.mode("overwrite").parquet(args.tagged_output)
+    if args.output:
+        out["kept"].write.mode("overwrite").parquet(args.output)
+        kept = spark.read.parquet(args.output)
+    else:
+        kept = out["kept"]
+    n_in = docs.count()
+    n_kept = kept.count()
+    print(
+        json.dumps(
+            {
+                "docs_in": n_in,
+                "docs_kept": n_kept,
+                "kept_frac": round(n_kept / max(n_in, 1), 4),
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
