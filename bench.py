@@ -94,6 +94,22 @@ def run_once(master: str, sf_dir: str, n_groups: int, shuffle: int):
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # corpus-cleaning throughput (extras, NOT in the headline total so
+    # `value` stays comparable to BENCH_r0{1..4}): the composed one-scan
+    # tag+gate+dedup+redact plan over the documents table — the
+    # training-data-pipeline path a 100 TB deployment runs first
+    from cogie_spark.plans.corpus import CorpusConfig, clean_corpus
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()  # pre-t0: scan warm either way, count is metadata
+    t0 = time.time()
+    kept = clean_corpus(docs, CorpusConfig())["kept"].count()
+    dt = time.time() - t0
+    extras["corpus_clean_sec"] = round(dt, 3)
+    extras["corpus_docs_in"] = n_docs
+    extras["corpus_docs_kept"] = kept
+    extras["corpus_docs_per_sec"] = round(n_docs / dt, 1)
+
     spark.stop()
     return timings, extras
 
@@ -266,6 +282,10 @@ def main():
                 "pairs_scored": extras["pairs_scored"],
                 "pairs_scored_per_sec": extras["pairs_scored_per_sec"],
                 "clusters": extras["clusters"],
+                "corpus_clean_sec": extras.get("corpus_clean_sec"),
+                "corpus_docs_per_sec": extras.get("corpus_docs_per_sec"),
+                "corpus_docs_in": extras.get("corpus_docs_in"),
+                "corpus_docs_kept": extras.get("corpus_docs_kept"),
                 "pagefault_cold_us_per_page": probes,
                 "mem_gbps": bands,
                 "attempts": attempts,
