@@ -140,3 +140,65 @@ class TestPII:
         df = spark.createDataFrame([("x",)], "text string")
         plan = redact_pii(pii_counts(df, "text"), "text")._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------- hypothesis
+# Parity of the inline-safe zip-of-shifted-slices shingle/n-gram forms
+# (functions/text.py) against the documented per-index semantics (the
+# DuckDB-twin form in the docstrings). The rewrite's boundary behavior
+# — text shorter than k, empty strings, whitespace-only input, short
+# token arrays zipping as NULLs — is exactly what hypothesis shakes.
+# ASCII alphabet: Java and Python diverge on unicode lower()/\s, and
+# the construction being pinned is structural, not locale.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ascii_text = st.text(
+    alphabet=st.sampled_from("ab x.\t\n  "),  # space-heavy: hits empty/short tokens
+    max_size=30,
+)
+
+
+def _py_norm(s: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", s.lower()).strip()
+
+
+def _py_char_shingles(s: str, k: int) -> list[str]:
+    t = _py_norm(s)
+    out, seen = [], set()
+    for i in range(max(len(t) - k + 1, 1)):
+        sh = t[i : i + k]
+        if sh not in seen:
+            seen.add(sh)
+            out.append(sh)
+    return out
+
+
+def _py_word_ngrams(s: str, n: int) -> list[str]:
+    toks = _py_norm(s).split(" ")
+    out, seen = [], set()
+    for i in range(max(len(toks) - n + 1, 1)):
+        g = " ".join(toks[i : i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_ascii_text, min_size=1, max_size=25))
+def test_shingle_ngram_zip_forms_match_reference(spark, texts):
+    from pyspark.sql import functions as F
+
+    from cogie_spark.functions.text import char_shingles, word_ngrams
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select(
+        char_shingles("text", k=4).alias("sh"),
+        word_ngrams("text", n=2).alias("ng"),
+    ).collect()
+    for t, row in zip(texts, got):
+        assert row["sh"] == _py_char_shingles(t, 4), repr(t)
+        assert row["ng"] == _py_word_ngrams(t, 2), repr(t)
