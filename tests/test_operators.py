@@ -429,6 +429,22 @@ def test_extract_features_decoder_gate(spark):
     bad = [r for r in rows if r["decode_error"] is not None]
     assert all(r["feature"] is None for r in bad)
 
+    # audio/video ride the same driver-side gate: plan build fails with
+    # a clear ImportError naming the optional package, never an executor
+    # task failure (the sandbox has none of soundfile/librosa/av)
+    for kind, pkg in (("audio", "soundfile|librosa"), ("video", "av")):
+        try:
+            __import__(pkg.split("|")[0])
+            has_lib = True  # pragma: no cover - sandbox has no media libs
+        except ImportError:
+            has_lib = False
+        if not has_lib:
+            with pytest.raises(ImportError, match=pkg.split("|")[0]):
+                extract_features(media, decoder=kind)
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        extract_features(media, decoder="nope")
+
     with pytest.raises(ValueError, match="unknown decoder"):
         extract_features(media, decoder="librosa")
 
