@@ -305,3 +305,176 @@ def bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cosine", "rank")
     )
+
+
+# ----------------------------------------------------------------- IVF
+# Inverted-file ANN — the second scale path beside LSH sign-bucketing.
+# Where LSH buckets are data-independent (hyperplanes from a hash
+# family), IVF adapts the partition to the data: a spherical k-means
+# coarse quantizer trained on a bounded deterministic sample, corpus
+# vectors assigned to their nearest centroid list in ONE Arrow matmul
+# projection (no shuffle), probes scoring only their top-``nprobe``
+# lists. This is the FAISS IndexIVFFlat strategy (the reference's ANN
+# role, /root/reference/cogie/models/el/blink.py:97-167) restated as a
+# broadcast-dim-table plan: the quantizer is tiny and lives in the
+# expression tree; the corpus-side list assignment is narrow; the only
+# shuffle anywhere is the final per-probe top-k window, whose input is
+# already cut down by |corpus| * nprobe / nlist.
+
+
+def ivf_train(
+    corpus: DataFrame,
+    nlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_size: int = 20_000,
+    iters: int = 15,
+    seed: int = 13,
+) -> np.ndarray:
+    """Train the coarse quantizer: (nlist, dim) float64 L2-normalized
+    centroids from a DETERMINISTIC bounded sample of the corpus.
+
+    Sampling is the hash-gated pattern of the sampled IDF vocabulary
+    (operators/scoring.py): order by xxhash64(id), take ``train_size``
+    — order-stable under repartitioning, one bounded TakeOrdered job,
+    never a full collect. The k-means itself runs on the driver over at
+    most train_size × dim float64 (~10 MB at the defaults) with
+    hash-seeded init and a FIXED iteration count, so the same corpus
+    always yields the same quantizer — at 100 TB the sample bound, not
+    the corpus, prices this step.
+    """
+    dim = dim or infer_dim(corpus, vec_col)
+    rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("_v"),
+                      F.xxhash64(F.col(id_col)).alias("_h"))
+        .filter(F.col("_v").isNotNull() & (F.size("_v") == dim))
+        .orderBy("_h")
+        .limit(train_size)
+        .select("_v")
+        .collect()
+    )
+    M = np.array([r["_v"] for r in rows], dtype=np.float64)
+    if M.size == 0:
+        raise ValueError("ivf_train: no usable vectors in corpus sample")
+    norms = np.linalg.norm(M, axis=1)
+    M = M[norms > 0] / norms[norms > 0, None]
+    uniq = np.unique(M, axis=0)
+    k = min(nlist, len(uniq))
+    rng = np.random.default_rng(seed)
+    cents = uniq[rng.choice(len(uniq), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (M @ cents.T).argmax(axis=1)
+        for j in range(k):
+            members = M[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        n = np.linalg.norm(cents, axis=1)
+        n[n == 0] = 1.0
+        cents = cents / n[:, None]
+    return cents
+
+
+def _ivf_lists_arrow(centroids: np.ndarray, nprobe: int, dim: int):
+    """pandas UDF: top-``nprobe`` centroid ids per vector by cosine
+    (descending similarity, ties to the lower id — deterministic), one
+    Arrow-batch matmul. NULL / wrong-width vectors yield NULL (the
+    _band_codes_arrow convention), so they drop out of the inner list
+    join instead of failing the task."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)  # k × dim
+
+    @pandas_udf(ArrayType(LongType()))
+    def lists(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mask = v.map(lambda a: a is not None and len(a) == dim)
+        out = np.full(len(v), None, dtype=object)
+        if mask.any():
+            M = np.stack(v[mask].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(M, axis=1)
+            n[n == 0] = 1.0
+            S = (M / n[:, None]) @ C.T  # rows × k
+            p = min(nprobe, C.shape[0])
+            # stable top-p: sort by (-sim, id)
+            order = np.lexsort((np.broadcast_to(np.arange(C.shape[0]), S.shape), -S), axis=1)
+            top = order[:, :p]
+            for j, row in zip(np.flatnonzero(mask.to_numpy()), top):
+                out[j] = row
+        return pd.Series(out, dtype=object)
+
+    return lists
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Attach each vector's nearest-centroid list id — ONE narrow Arrow
+    projection, no shuffle. The result is the materializable IVF index:
+    write it partitioned/bucketed by ``out_col`` and probe-side scans
+    prune to nprobe lists at the file level."""
+    dim = dim or int(centroids.shape[1])
+    lists = _ivf_lists_arrow(centroids, nprobe=1, dim=dim)
+    return df.withColumn(out_col, F.get(lists(F.col(vec_col)), 0))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    nlist: int = 64,
+    nprobe: int = 8,
+    dim: int | None = None,
+    centroids: np.ndarray | None = None,
+    train_size: int = 20_000,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: score only corpus vectors whose
+    list is among the probe's ``nprobe`` nearest centroids.
+
+    Output: (probe_id, vec_id, cosine, rank) — the brute_force_topk
+    contract. nprobe == nlist degenerates to EXACT search (every list
+    probed; unit-tested equal to brute_force_topk), which makes recall
+    a pure nprobe/nlist dial with the exact end always reachable.
+
+    Pass ``centroids`` to reuse a trained quantizer (the streaming /
+    repeated-probe path); otherwise one bounded train job runs at
+    plan-build time.
+    """
+    dim = dim or infer_dim(corpus, vec_col)
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, nlist=nlist, id_col=id_col, vec_col=vec_col,
+            dim=dim, train_size=train_size, seed=seed,
+        )
+    ca = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        "list_id",
+    )
+    plists = _ivf_lists_arrow(centroids, nprobe=nprobe, dim=dim)
+    pa = (
+        probes.select(
+            F.col(probe_id_col).alias("probe_id"),
+            F.col(vec_col).cast("array<double>").alias("_pv"),
+        )
+        .withColumn("list_id", F.explode(plists(F.col("_pv"))))
+    )
+    scored = (
+        ca.join(F.broadcast(pa), "list_id")
+        .withColumn("cosine", F.round(cosine_native(F.col("_pv"), F.col("_cv"), dim=dim), 6))
+        .select("probe_id", "vec_id", "cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cosine", "rank")
+    )

@@ -551,3 +551,59 @@ def test_cc_check_every_identical_clusters(spark):
 
     sizes = Counter(c for _, c in base)
     assert sorted(sizes.values()) == [3, 3, 3, 3, 50]
+
+
+def test_ivf_exact_when_nprobe_equals_nlist(spark):
+    """IVF's exact end of the dial: nprobe == nlist probes every list,
+    so the result must EQUAL brute force row-for-row (same rounding,
+    same vec_id tie-break)."""
+    from cogie_spark.operators.ann import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 8").select(F.col("vec_id").alias("probe_id"), "embedding")
+    exact = {tuple(r) for r in brute_force_topk(emb, probes, k=5).collect()}
+    ivf = {tuple(r) for r in ivf_topk(emb, probes, k=5, nlist=8, nprobe=8, seed=13).collect()}
+    assert ivf == exact
+
+
+def test_ivf_recall_and_determinism(spark):
+    """Partial-probe recall vs brute force on real embeddings, and the
+    quantizer's determinism (same corpus + seed -> identical centroids,
+    so two plans give identical results)."""
+    import numpy as np
+
+    from cogie_spark.operators.ann import brute_force_topk, ivf_topk, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter("vec_id < 10").select(F.col("vec_id").alias("probe_id"), "embedding")
+    exact = brute_force_topk(emb, probes, k=5)
+    approx = ivf_topk(emb, probes, k=5, nlist=8, nprobe=3, seed=13)
+    hits = exact.join(approx, ["probe_id", "vec_id"], "inner").count()
+    total = exact.count()
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+    c1 = ivf_train(emb, nlist=8, seed=13)
+    c2 = ivf_train(emb, nlist=8, seed=13)
+    assert np.array_equal(c1, c2)
+
+
+def test_ivf_assign_no_shuffle_and_null_safe(spark):
+    """ivf_assign is ONE narrow Arrow projection (no Exchange in the
+    plan) and NULL / wrong-width vectors get a NULL list_id instead of
+    failing the batch."""
+    import numpy as np
+
+    from cogie_spark.operators.ann import ivf_assign
+
+    cents = np.eye(4, dtype=np.float64)[:3]  # 3 centroids, dim 4
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, None), (4, [1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = ivf_assign(df, cents, dim=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = {r["vec_id"]: r["list_id"] for r in out.collect()}
+    assert rows[1] == 0 and rows[2] == 1
+    assert rows[3] is None and rows[4] is None
