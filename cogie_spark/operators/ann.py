@@ -355,10 +355,14 @@ def ivf_train(
         .collect()
     )
     M = np.array([r["_v"] for r in rows], dtype=np.float64)
+    if M.size:
+        norms = np.linalg.norm(M, axis=1)
+        M = M[norms > 0] / norms[norms > 0, None]
+    # guard AFTER the zero-norm filter: an all-zero-vector sample must
+    # raise this ValueError, not an argmax-of-empty numpy error inside
+    # the k-means loop (code-review r5 finding)
     if M.size == 0:
-        raise ValueError("ivf_train: no usable vectors in corpus sample")
-    norms = np.linalg.norm(M, axis=1)
-    M = M[norms > 0] / norms[norms > 0, None]
+        raise ValueError("ivf_train: no usable (non-null, non-zero) vectors in corpus sample")
     uniq = np.unique(M, axis=0)
     k = min(nlist, len(uniq))
     rng = np.random.default_rng(seed)

@@ -236,12 +236,17 @@ def repetition_features(
         F.zip_with(lsrt, lflags, lambda l, b: F.when(b, F.length(l)).otherwise(F.lit(0)))
     )
     all_line_chars = _arr_sum(F.transform(lsrt, F.length))
+    # NULL text: every fraction is 0.0 (a missing document is not a
+    # repetitive one) — without the guard the NULL propagates into
+    # least(NULL, 1.0), which SKIPS the NULL operand and silently
+    # coerces the answer to the 1.0 cap (code-review r5 finding)
+    _nz = lambda c: F.when(text.isNull(), F.lit(0.0)).otherwise(c)  # noqa: E731
     out = out.withColumn(
         "dup_line_frac",
-        F.round(dup_lines / F.greatest(nl.cast("long"), F.lit(1)), 6),
+        _nz(F.round(dup_lines / F.greatest(nl.cast("long"), F.lit(1)), 6)),
     ).withColumn(
         "dup_line_char_frac",
-        F.round(dup_line_chars / F.greatest(all_line_chars, F.lit(1)), 6),
+        _nz(F.round(dup_line_chars / F.greatest(all_line_chars, F.lit(1)), 6)),
     )
 
     n_chars = F.greatest(F.length(normalize_text(text)), F.lit(1)).cast("long")
@@ -256,7 +261,7 @@ def repetition_features(
             top = _top_run(srt)
             out = out.withColumn(
                 f"top_{n}gram_char_frac",
-                F.round(F.least((top["cnt"] * top["len"]) / n_chars, F.lit(1.0)), 6),
+                _nz(F.round(F.least((top["cnt"] * top["len"]) / n_chars, F.lit(1.0)), 6)),
             )
         if n in dup_ngram_ns:
             # chars of elements inside duplicated runs == sum over dup
@@ -274,7 +279,7 @@ def repetition_features(
             )
             out = out.withColumn(
                 f"dup_{n}gram_char_frac",
-                F.round(F.least(dup_chars / n_chars, F.lit(1.0)), 6),
+                _nz(F.round(F.least(dup_chars / n_chars, F.lit(1.0)), 6)),
             )
     return out.drop(*temps)
 

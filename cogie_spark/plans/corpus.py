@@ -77,6 +77,19 @@ def clean_corpus(docs: DataFrame, cfg: CorpusConfig | None = None) -> dict:
         keep = keep & F.col("lang_pred").isin(*cfg.langs)
     tagged = tagged.withColumn("keep", keep)
 
+    return {"tagged": tagged, "kept": kept_view(tagged, cfg)}
+
+
+def kept_view(tagged: DataFrame, cfg: CorpusConfig | None = None) -> DataFrame:
+    """Derive the training view from an ALREADY-TAGGED frame (the
+    ``tagged`` output of :func:`clean_corpus`, live or re-read from its
+    written parquet). Split out so a job that materializes the audit
+    view can build ``kept`` from those bytes instead of re-running the
+    whole tag plan over the raw corpus — writing both views from the
+    same clean_corpus lineage executes the tag stage twice (two full
+    corpus scans), exactly the cost this plan exists to avoid."""
+    cfg = cfg or CorpusConfig()
+    t = cfg.text_col
     gated = tagged.filter("keep")
     # exact dedup in the same min-id-per-content-hash shape as the
     # flagship prededup (plans/linkage.py): keep the row whose id is the
@@ -94,4 +107,4 @@ def clean_corpus(docs: DataFrame, cfg: CorpusConfig | None = None) -> dict:
     )
     if cfg.redact:
         kept = kept.withColumn(t, F.col("_text_redacted")).drop("_text_redacted")
-    return {"tagged": tagged, "kept": kept}
+    return kept

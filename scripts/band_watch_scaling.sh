@@ -9,6 +9,14 @@ set -u
 cd /root/repo
 OUT=${1:-/tmp/scaling_r5s6.json}
 LOCK=/tmp/cogie_scaling.lock
+# never leak the lock: remove it on ANY exit (Ctrl-C, kill, OOM of the
+# child), and refuse to start over someone else's live lock
+trap 'rm -f "$LOCK"' EXIT
+if [ -e "$LOCK" ]; then
+  echo "lock $LOCK already held ($(cat "$LOCK")) - refusing to start" >&2
+  trap - EXIT
+  exit 4
+fi
 for i in $(seq 1 27); do
   BW=$(python scripts/membw_probe.py --quick 2>/dev/null | tail -1 | python -c "import sys,json;print(json.load(sys.stdin)['mem_gbps@1'])")
   LOAD=$(cut -d' ' -f1 /proc/loadavg)
@@ -19,7 +27,7 @@ for i in $(seq 1 27); do
     echo "$$ $(date +%s)" > "$LOCK"
     COGIE_BENCH_GROUPS=450000 COGIE_BW_FLOOR_GBPS=1.0 python bench.py --scaling > "$OUT" 2>"${OUT%.json}.err"
     rc=$?
-    rm -f "$LOCK"
+    rm -f "$LOCK"   # promptly; the EXIT trap is the backstop
     echo "scaling done rc=$rc"
     cat "$OUT"
     BAND_OK=$(python -c "import json;print(json.load(open('$OUT'))['band_ok'])" 2>/dev/null)

@@ -33,7 +33,7 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("cogie_corpus").getOrCreate()
 
-    from cogie_spark.plans.corpus import CorpusConfig, clean_corpus
+    from cogie_spark.plans.corpus import CorpusConfig, clean_corpus, kept_view
 
     cfg = CorpusConfig(
         id_col=args.id_col,
@@ -50,7 +50,14 @@ def main() -> None:
     if args.tagged_output:
         out["tagged"].write.mode("overwrite").parquet(args.tagged_output)
     if args.output:
-        out["kept"].write.mode("overwrite").parquet(args.output)
+        if args.tagged_output:
+            # derive kept from the just-written audit bytes: writing
+            # both views from the same clean_corpus lineage would run
+            # the whole tag plan over the raw corpus TWICE
+            kept_src = kept_view(spark.read.parquet(args.tagged_output), cfg)
+        else:
+            kept_src = out["kept"]
+        kept_src.write.mode("overwrite").parquet(args.output)
         kept = spark.read.parquet(args.output)
     else:
         kept = out["kept"]

@@ -432,14 +432,16 @@ def test_extract_features_decoder_gate(spark):
     # audio/video ride the same driver-side gate: plan build fails with
     # a clear ImportError naming the optional package, never an executor
     # task failure (the sandbox has none of soundfile/librosa/av)
-    for kind, pkg in (("audio", "soundfile|librosa"), ("video", "av")):
-        try:
-            __import__(pkg.split("|")[0])
-            has_lib = True  # pragma: no cover - sandbox has no media libs
-        except ImportError:
-            has_lib = False
+    for kind, pkgs in (("audio", ("soundfile", "librosa")), ("video", ("av",))):
+        has_lib = False
+        for pkg in pkgs:  # audio_decoder falls back soundfile -> librosa
+            try:
+                __import__(pkg)
+                has_lib = True  # pragma: no cover - sandbox has no media libs
+            except ImportError:
+                pass
         if not has_lib:
-            with pytest.raises(ImportError, match=pkg.split("|")[0]):
+            with pytest.raises(ImportError, match=pkgs[0]):
                 extract_features(media, decoder=kind)
 
     with pytest.raises(ValueError, match="unknown decoder"):
@@ -607,3 +609,15 @@ def test_ivf_assign_no_shuffle_and_null_safe(spark):
     rows = {r["vec_id"]: r["list_id"] for r in out.collect()}
     assert rows[1] == 0 and rows[2] == 1
     assert rows[3] is None and rows[4] is None
+
+
+def test_ivf_train_all_zero_sample_raises_value_error(spark):
+    """An all-zero-vector corpus must fail ivf_train with the intended
+    ValueError, not an argmax-of-empty numpy error (code-review r5)."""
+    from cogie_spark.operators.ann import ivf_train
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no usable"):
+        ivf_train(df, nlist=2, dim=3)

@@ -202,3 +202,19 @@ def test_shingle_ngram_zip_forms_match_reference(spark, texts):
     for t, row in zip(texts, got):
         assert row["sh"] == _py_char_shingles(t, 4), repr(t)
         assert row["ng"] == _py_word_ngrams(t, 2), repr(t)
+
+
+def test_repetition_features_null_text_is_zero(spark):
+    """NULL-text rows are not 'maximally repetitive': every fraction is
+    0.0 (code-review r5 — least(NULL, 1.0) skips the NULL operand and
+    silently returned the 1.0 cap; dup_line_frac leaked NULL)."""
+    df = spark.createDataFrame([(1, None), (2, "a b a b a b")], "id int, text string")
+    r = {
+        row["id"]: row
+        for row in repetition_features(
+            df, "text", top_ngram_ns=(2,), dup_ngram_ns=(2,)
+        ).collect()
+    }
+    for c in ("dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac", "dup_2gram_char_frac"):
+        assert r[1][c] == 0.0, (c, r[1][c])
+    assert r[2]["top_2gram_char_frac"] > 0.5  # the non-null row still measures
