@@ -80,14 +80,20 @@ def clean_corpus(docs: DataFrame, cfg: CorpusConfig | None = None) -> dict:
     return {"tagged": tagged, "kept": kept_view(tagged, cfg)}
 
 
-def kept_view(tagged: DataFrame, cfg: CorpusConfig | None = None) -> DataFrame:
+def kept_view(
+    tagged: DataFrame, cfg: CorpusConfig | None = None, hash_col: str | None = None
+) -> DataFrame:
     """Derive the training view from an ALREADY-TAGGED frame (the
     ``tagged`` output of :func:`clean_corpus`, live or re-read from its
     written parquet). Split out so a job that materializes the audit
     view can build ``kept`` from those bytes instead of re-running the
     whole tag plan over the raw corpus — writing both views from the
     same clean_corpus lineage executes the tag stage twice (two full
-    corpus scans), exactly the cost this plan exists to avoid."""
+    corpus scans), exactly the cost this plan exists to avoid.
+
+    ``hash_col``: when set, the PRE-redaction content sha256 (the dedup
+    key) is kept as an output column under that name — the handle the
+    streaming ingest uses for cross-batch dedup state."""
     cfg = cfg or CorpusConfig()
     t = cfg.text_col
     gated = tagged.filter("keep")
@@ -99,9 +105,13 @@ def kept_view(tagged: DataFrame, cfg: CorpusConfig | None = None) -> DataFrame:
     # for the agg build AND the join probe — three scans at 100 TB).
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.sha2(F.col(t), 256))
+    sha = F.sha2(F.col(t), 256)
+    w = Window.partitionBy(sha)
+    kept = gated
+    if hash_col:
+        kept = kept.withColumn(hash_col, sha)
     kept = (
-        gated.withColumn("_min_id", F.min(cfg.id_col).over(w))
+        kept.withColumn("_min_id", F.min(cfg.id_col).over(w))
         .filter(F.col(cfg.id_col) == F.col("_min_id"))
         .drop("_min_id")
     )

@@ -4,6 +4,7 @@ earlier batches."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -416,3 +417,85 @@ def test_checkpoint_manager_uri_base(spark):
     assert m.filter("key = 'rows'").count() == 1
     lin = ck.lineage_df()
     assert lin.filter("stage = 'stage1'").count() == 1
+
+
+
+# ------------------------------------------------------ corpus ingestion
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_GOOD = (
+    "an ordinary well formed document with plenty of distinct words that "
+    "clears every quality and repetition gate without any trouble at all "
+    "because it simply keeps talking about different things in sequence"
+)
+
+
+def test_corpus_stream_cross_batch_dedup_and_idempotent_retry(spark):
+    from cogie_spark.plans.corpus import CorpusConfig
+    from cogie_spark.streaming.corpus import incremental_clean_batch
+
+    state = TableIO(spark, tempfile.mkdtemp(prefix="cogie_corpus_stream_"))
+    cfg = CorpusConfig(redact=False)
+
+    # batch 0: two distinct docs + an intra-batch duplicate of doc 1
+    b0 = _docs(spark, [(1, _GOOD), (2, _GOOD + " extra tail"), (3, _GOOD)])
+    k0 = incremental_clean_batch(b0, state, cfg, batch_id=0)
+    assert sorted(r["doc_id"] for r in k0.collect()) == [1, 2]
+
+    # batch 1: a cross-batch duplicate of doc 1 and one new doc
+    b1 = _docs(spark, [(10, _GOOD), (11, _GOOD + " genuinely new content")])
+    k1 = incremental_clean_batch(b1, state, cfg, batch_id=1)
+    assert sorted(r["doc_id"] for r in k1.collect()) == [11]
+
+    # retry of batch 1 (at-least-once): same rows, same schema, and the
+    # hash state is NOT double-appended
+    before = spark.read.parquet(f"{state.base}/hashes_*").count()
+    k1r = incremental_clean_batch(b1, state, cfg, batch_id=1)
+    assert sorted(r["doc_id"] for r in k1r.collect()) == [11]
+    assert sorted(k1r.columns) == sorted(k1.columns)
+    assert spark.read.parquet(f"{state.base}/hashes_*").count() == before
+
+
+def test_corpus_stream_compaction_preserves_dedup(spark):
+    from cogie_spark.plans.corpus import CorpusConfig
+    from cogie_spark.streaming.corpus import _read_manifest, incremental_clean_batch
+
+    state = TableIO(spark, tempfile.mkdtemp(prefix="cogie_corpus_cmp_"))
+    cfg = CorpusConfig(redact=False)
+
+    for i in range(3):
+        b = _docs(spark, [(100 + i, _GOOD + f" variant number {i} of the corpus")])
+        incremental_clean_batch(b, state, cfg, batch_id=i, compact_every=2)
+
+    m = _read_manifest(state)
+    assert m["base"] is not None, "hash deltas were not folded"
+    assert all("hashes" not in e for e in m["batches"][: m["compacted_through"] + 1])
+
+    # a post-compaction duplicate of a pre-compaction doc is still dropped
+    b3 = _docs(spark, [(200, _GOOD + " variant number 0 of the corpus")])
+    k3 = incremental_clean_batch(b3, state, cfg, batch_id=3, compact_every=0)
+    assert k3.count() == 0
+
+    # retried COMPACTED batch short-circuits to its committed kept rows
+    b0 = _docs(spark, [(100, _GOOD + " variant number 0 of the corpus")])
+    k0r = incremental_clean_batch(b0, state, cfg, batch_id=0)
+    assert [r["doc_id"] for r in k0r.collect()] == [100]
+
+
+def test_corpus_stream_wiring_availablenow(spark):
+    from cogie_spark.plans.corpus import CorpusConfig
+    from cogie_spark.streaming.corpus import start_corpus_stream
+
+    base = tempfile.mkdtemp(prefix="cogie_corpus_wire_")
+    inp, state_dir, ckpt = (os.path.join(base, d) for d in ("in", "state", "ckpt"))
+    os.makedirs(inp)
+    _docs(spark, [(1, _GOOD), (2, _GOOD)]).write.parquet(os.path.join(inp, "w0"))
+
+    q = start_corpus_stream(
+        spark, inp + "/*", state_dir, ckpt, cfg=CorpusConfig(redact=False)
+    )
+    assert q.awaitTermination(1800), "stream did not terminate"
+    kept = spark.read.parquet(f"{state_dir}/kept_*")
+    assert [r["doc_id"] for r in kept.collect()] == [1]
