@@ -22,6 +22,33 @@ import os
 import sys
 import time
 
+# Standing two-parallelism scaling evidence (the north rule's N-vs-4N
+# letter, sandbox form). `--scaling` MEASURES a pair; this block RECORDS
+# the best probe-gated matched pair so the driver's default BENCH
+# artifact is self-describing — full protocol, all recorded pairs, and
+# the host-ceiling analysis live in BASELINE.md (round-4/5 sections).
+# Update when a new band-clean pair displaces the standing best.
+SCALING_EVIDENCE = {
+    "protocol": "same staged input, local[8] vs local[32], each leg "
+                "taskset-pinned in its own subprocess, page-fault + "
+                "DRAM-band probes bracketing every leg",
+    "best_pair": {
+        "groups": 450_000,
+        "pairs_scored": 1_675_912,
+        "pairs_per_sec_8": 4617.3,
+        "pairs_per_sec_32": 10585.6,
+        "efficiency_8_to_32": 0.573,
+        "outputs_identical_across_legs": True,
+    },
+    "efficiency_by_input_size": {"50k": 0.22, "200k": 0.41, "450k": 0.573},
+    "host_ceiling": "shared-socket DRAM: membw probe shows aggregate "
+                    "bandwidth FALLS 16.5->9.9 GB/s going 8->32 pinned "
+                    "workers; cache-resident compute scales 2.9-3.2x. "
+                    "A real 4N-executor cluster adds bandwidth with "
+                    "cores instead of dividing it.",
+    "see": "BASELINE.md round-5 session-3",
+}
+
 
 def _stage_fixture(spark, n_groups: int) -> str:
     """Materialize the deterministic code_files fixture as parquet —
@@ -289,6 +316,7 @@ def main():
                 "pagefault_cold_us_per_page": probes,
                 "mem_gbps": bands,
                 "attempts": attempts,
+                "scaling_evidence": SCALING_EVIDENCE,
             }
         )
     )

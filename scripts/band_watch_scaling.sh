@@ -1,13 +1,17 @@
 #!/bin/bash
-# Poll the DRAM band; when healthy, fire ONE 450k-group scaling pair.
-# Takes /tmp/cogie_scaling.lock for the duration of the pair so
+# Poll the DRAM band; when healthy, fire scaling pairs — first 450k
+# groups (replicate/beat the standing 0.573 best), then, if the first
+# pair came back band-clean AND the band is still healthy, one 900k
+# pair (the trend point both prior attempts lost to band collapse:
+# BASELINE.md round-5 sessions 3-4).
+# Takes /tmp/cogie_scaling.lock for the duration of each pair so
 # interactive sessions on the same socket can avoid contaminating it
 # (BASELINE.md round-5 session-5: a formally-clean pair was deflated by
 # our own concurrent pytest run — the ambient-load gate cannot tell
 # "us" from co-tenants).
 set -u
 cd /root/repo
-OUT=${1:-/tmp/scaling_r5s6.json}
+OUTDIR=${1:-/tmp}
 LOCK=/tmp/cogie_scaling.lock
 # never leak the lock: remove it on ANY exit (Ctrl-C, kill, OOM of the
 # child), and refuse to start over someone else's live lock
@@ -17,23 +21,49 @@ if [ -e "$LOCK" ]; then
   trap - EXIT
   exit 4
 fi
-for i in $(seq 1 27); do
+
+band_healthy() {
   BW=$(python scripts/membw_probe.py --quick 2>/dev/null | tail -1 | python -c "import sys,json;print(json.load(sys.stdin)['mem_gbps@1'])")
   LOAD=$(cut -d' ' -f1 /proc/loadavg)
-  echo "poll $i: bw=${BW} load=${LOAD} $(date +%H:%M:%S)"
-  OK=$(python -c "print(1 if float('$BW')>=1.5 and float('$LOAD')<4 else 0)")
-  if [ "$OK" = "1" ]; then
-    echo "band healthy - taking lock and firing scaling pair at 450k groups"
-    echo "$$ $(date +%s)" > "$LOCK"
-    COGIE_BENCH_GROUPS=450000 COGIE_BW_FLOOR_GBPS=1.0 python bench.py --scaling > "$OUT" 2>"${OUT%.json}.err"
-    rc=$?
-    rm -f "$LOCK"   # promptly; the EXIT trap is the backstop
-    echo "scaling done rc=$rc"
-    cat "$OUT"
-    BAND_OK=$(python -c "import json;print(json.load(open('$OUT'))['band_ok'])" 2>/dev/null)
-    echo "band_ok=$BAND_OK"
-    if [ "$BAND_OK" = "True" ]; then exit 0; fi
-    echo "pair was band-contaminated; resuming polling"
+  echo "probe: bw=${BW} load=${LOAD} $(date +%H:%M:%S)"
+  python -c "import sys; sys.exit(0 if float('$BW')>=1.5 and float('$LOAD')<4 else 1)"
+}
+
+run_pair() {  # $1 = n_groups, $2 = out json; returns 0 iff band_ok
+  local groups=$1 out=$2
+  echo "band healthy - taking lock and firing scaling pair at ${groups} groups"
+  echo "$$ $(date +%s)" > "$LOCK"
+  COGIE_BENCH_GROUPS=$groups COGIE_BW_FLOOR_GBPS=1.0 python bench.py --scaling > "$out" 2>"${out%.json}.err"
+  local rc=$?
+  rm -f "$LOCK"   # promptly; the EXIT trap is the backstop
+  echo "scaling(${groups}) done rc=$rc"
+  cat "$out"
+  local band_ok
+  band_ok=$(python -c "import json;print(json.load(open('$out'))['band_ok'])" 2>/dev/null)
+  echo "band_ok=$band_ok"
+  [ "$band_ok" = "True" ]
+}
+
+DONE_450=0
+for i in $(seq 1 27); do
+  echo "poll $i"
+  if band_healthy; then
+    if [ "$DONE_450" = "0" ]; then
+      if run_pair 450000 "$OUTDIR/scaling_r5s7_450k.json"; then
+        DONE_450=1
+        # band survived the 450k pair — try the missing 900k point
+        # immediately while the window holds
+        if band_healthy; then
+          run_pair 900000 "$OUTDIR/scaling_r5s7_900k.json" && exit 0
+          echo "900k pair band-contaminated; resuming polling for it"
+        fi
+      else
+        echo "450k pair was band-contaminated; resuming polling"
+      fi
+    else
+      run_pair 900000 "$OUTDIR/scaling_r5s7_900k.json" && exit 0
+      echo "900k pair band-contaminated; resuming polling"
+    fi
   fi
   sleep 600
 done
