@@ -2,3 +2,4 @@ from cogie_spark.operators.blocking import candidate_pairs, with_blocks  # noqa:
 from cogie_spark.operators.cc import connected_components  # noqa: F401
 from cogie_spark.operators.scoring import score_pairs  # noqa: F401
 from cogie_spark.operators.metrics import bcubed, blocking_quality, pairwise_prf  # noqa: F401
+from cogie_spark.operators.packing import pack_sequences, pack_stats  # noqa: F401
