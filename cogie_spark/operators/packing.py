@@ -96,7 +96,12 @@ def pack_sequences(
     ``shards`` bounds per-task memory: each shard's (id, tokens) pairs
     — never the text — are held in one pandas group. Default is the
     session's shuffle partitioning. Raise it for huge corpora; quality
-    degrades only marginally (measure with ``pack_stats``).
+    degrades only marginally (measure with ``pack_stats``) AS LONG AS
+    each shard keeps a healthy population — below ~64 docs/shard the
+    bin-packing has nothing to combine and fill rate collapses, so
+    size ``shards`` from the (known or estimated) row count when the
+    corpus is small relative to the session's parallelism
+    (scripts/corpus_job.py does exactly this).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")

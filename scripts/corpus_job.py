@@ -27,6 +27,13 @@ def main() -> None:
     ap.add_argument("--max-top-2gram-char-frac", type=float, default=0.20)
     ap.add_argument("--langs", default="", help="comma-separated language allowlist (empty = all)")
     ap.add_argument("--no-redact", action="store_true")
+    ap.add_argument(
+        "--pack-budget", type=int, default=0,
+        help="if >0, bin-pack kept docs into packs of at most this many "
+             "whitespace tokens (operators/packing.py) and report fill stats",
+    )
+    ap.add_argument("--pack-output", default=None,
+                    help="parquet dir for the (id, pack_id, pack_slot) assignment")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,16 +70,41 @@ def main() -> None:
         kept = out["kept"]
     n_in = docs.count()
     n_kept = kept.count()
-    print(
-        json.dumps(
-            {
-                "docs_in": n_in,
-                "docs_kept": n_kept,
-                "kept_frac": round(n_kept / max(n_in, 1), 4),
-                "wall_sec": round(time.time() - t0, 2),
-            }
+    stats = {
+        "docs_in": n_in,
+        "docs_kept": n_kept,
+        "kept_frac": round(n_kept / max(n_in, 1), 4),
+    }
+    if args.pack_budget > 0:
+        from pyspark.sql import functions as F
+
+        from cogie_spark.operators.packing import pack_sequences, pack_stats
+        from cogie_spark.operators.textstats import token_count
+
+        # BFD quality needs a decent population per shard (~64+ docs);
+        # the session's shuffle partitioning is the upper bound so huge
+        # corpora still spread across the cluster
+        shards = max(1, min(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            n_kept // 64,
+        ))
+        packed = pack_sequences(
+            kept.select(args.id_col, token_count(args.text_col).alias("n_tokens")),
+            budget=args.pack_budget,
+            id_col=args.id_col,
+            shards=shards,
         )
-    )
+        if args.pack_output:
+            packed.write.mode("overwrite").parquet(args.pack_output)
+            packed = spark.read.parquet(args.pack_output)
+        ps = pack_stats(packed, args.pack_budget).collect()[0]
+        stats.update(
+            n_packs=ps.n_packs,
+            n_oversize_docs=ps.n_oversize,
+            pack_fill_rate=float(ps.fill_rate) if ps.fill_rate is not None else None,
+        )
+    stats["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
     spark.stop()
 
 
