@@ -485,3 +485,93 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+
+
+def semantic_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 64,
+    assign_probes: int = 2,
+    dim: int | None = None,
+    centroids=None,
+    train_size: int = 20_000,
+    seed: int = 13,
+    max_list_size: int = 256,
+) -> DataFrame:
+    """SemDeDup-style embedding near-dup pairs: cluster-then-verify
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public literature).
+
+    The blocking key is DATA-ADAPTIVE: a k-means coarse quantizer
+    (ann.ivf_train — bounded deterministic sample, driver-side k-means,
+    fixed iterations) assigns every vector to its ``assign_probes``
+    nearest centroid lists; pairs form only within a shared list and
+    are then verified with exact cosine. Contrast with
+    :func:`embedding_near_duplicates` mode='lsh', whose hyperplane
+    bands are data-OBLIVIOUS: on clustered corpora (the regime semantic
+    dedup targets) centroid lists concentrate near-dup pairs into a
+    key domain of ``nlist`` values, so the candidate join keys align
+    with a ``list_id``-bucketed table layout (TableIO.write_bucketed)
+    and the index is reusable across runs via ``centroids=``.
+
+    Recall: a pair at cosine >= threshold meets iff the two vectors
+    share one of their top-``assign_probes`` lists. Well-inside-cluster
+    pairs always do (their top-1 lists agree); boundary pairs are
+    covered by multi-assignment. assign_probes=nlist degenerates to
+    all-pairs-exact (every vector in every list) — the exact end of the
+    dial is always reachable, mirroring ivf_topk's nprobe contract.
+    Precision is exact regardless: every emitted pair passed the cosine
+    verify. Oversized lists are salted/capped by the shared
+    candidate_pairs guardrail (drops logged, never silent).
+
+    One narrow Arrow projection (list codes), one bounded-bucket pair
+    aggregation, two id-keyed feature joins for the verify — no
+    all-pairs stage anywhere at the default settings.
+    """
+    import logging
+
+    from pyspark import StorageLevel
+
+    from cogie_spark.operators.ann import _ivf_lists_arrow, infer_dim, ivf_train
+
+    dim = dim or infer_dim(df, vec_col)
+    if centroids is None:
+        centroids = ivf_train(
+            df, nlist=nlist, id_col=id_col, vec_col=vec_col,
+            dim=dim, train_size=train_size, seed=seed,
+        )
+    side = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    lists = _ivf_lists_arrow(centroids, nprobe=assign_probes, dim=dim)
+    # NULL / wrong-width vectors get NULL codes; explode drops them —
+    # the family's null-propagation convention (they can never pair)
+    blocks = (
+        side.select("_id", F.explode(lists(F.col("_v"))).alias("band_hash"))
+        .withColumn("band_id", F.lit(0))
+    )
+    pairs, dropped = candidate_pairs(
+        blocks, id_col="_id", key_cols=(), max_block_size=max_list_size
+    )
+    verified = (
+        pairs.select("left_id", "right_id")
+        .join(side.select(F.col("_id").alias("left_id"), F.col("_v").alias("_lv")), "left_id")
+        .join(side.select(F.col("_id").alias("right_id"), F.col("_v").alias("_rv")), "right_id")
+        .withColumn("cosine", F.round(cosine_native(F.col("_lv"), F.col("_rv"), dim=dim), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    n_dropped = dropped.count()
+    if n_dropped:
+        logging.getLogger(__name__).warning(
+            "semantic_duplicates: %d oversized centroid lists dropped "
+            "(max_list_size=%d) — pairs inside them were never compared; "
+            "raise max_list_size, raise nlist, or exact-dedup first",
+            n_dropped, max_list_size,
+        )
+    side.unpersist()
+    return verified

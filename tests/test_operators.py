@@ -621,3 +621,57 @@ def test_ivf_train_all_zero_sample_raises_value_error(spark):
     )
     with pytest.raises(ValueError, match="no usable"):
         ivf_train(df, nlist=2, dim=3)
+
+
+def test_semantic_duplicates_exact_end_and_no_cartesian(spark):
+    """semantic_duplicates' exact end of the dial: assign_probes ==
+    nlist puts every vector in every centroid list, so the output must
+    EQUAL brute-force embedding_near_duplicates(mode='exact') — same
+    rounding, same pairs. And the plan must never contain an all-pairs
+    product."""
+    from cogie_spark.operators.dedup import embedding_near_duplicates, semantic_duplicates
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = embedding_near_duplicates(emb, threshold=0.4, mode="exact")
+    sem = semantic_duplicates(
+        emb, threshold=0.4, nlist=8, assign_probes=8, seed=13, max_list_size=4096
+    )
+    e = {tuple(r) for r in exact.collect()}
+    s = {tuple(r) for r in sem.collect()}
+    assert s == e and e, f"semantic != exact: missing={e - s} extra={s - e}"
+
+    plan_df = semantic_duplicates(
+        emb, threshold=0.4, nlist=8, assign_probes=2, seed=13
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_duplicates_clustered_recall(spark):
+    """On a clustered corpus (the regime SemDeDup targets) the top-2
+    centroid assignment must recover every within-cluster near-dup
+    pair: parity with brute force at partial assignment, where the
+    quantizer's lists align with the planted clusters."""
+    import numpy as np
+
+    from cogie_spark.operators.dedup import embedding_near_duplicates, semantic_duplicates
+
+    rng = np.random.default_rng(7)
+    dim, rows = 16, []
+    anchors = rng.normal(size=(4, dim))
+    anchors /= np.linalg.norm(anchors, axis=1)[:, None]
+    vid = 0
+    for a in anchors:
+        for _ in range(12):
+            v = a + rng.normal(scale=0.03, size=dim)  # tight near-dup cloud
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = embedding_near_duplicates(emb, threshold=0.99, mode="exact")
+    sem = semantic_duplicates(
+        emb, threshold=0.99, nlist=4, assign_probes=2, train_size=48, seed=13
+    )
+    e = {tuple(r) for r in exact.collect()}
+    s = {tuple(r) for r in sem.collect()}
+    assert e, "fixture must plant near-dup pairs"
+    assert s == e, f"missing={e - s} extra={s - e}"
