@@ -1,2 +1,7 @@
 from cogie_spark.plans.linkage import LinkageConfig, run_linkage  # noqa: F401
-from cogie_spark.plans.corpus import CorpusConfig, clean_corpus, kept_view  # noqa: F401
+from cogie_spark.plans.corpus import (  # noqa: F401
+    CorpusConfig,
+    clean_corpus,
+    kept_view,
+    near_dup_prune,
+)

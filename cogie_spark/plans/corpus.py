@@ -118,3 +118,79 @@ def kept_view(
     if cfg.redact:
         kept = kept.withColumn(t, F.col("_text_redacted")).drop("_text_redacted")
     return kept
+
+
+def near_dup_prune(
+    kept: DataFrame,
+    cfg: CorpusConfig | None = None,
+    method: str = "minhash",
+    pairs: DataFrame | None = None,
+    cc_max_iter: int = 20,
+    **dedup_kwargs,
+) -> dict:
+    """The pipeline stage AFTER :func:`clean_corpus`: near-duplicate
+    pruning of the kept corpus — pairs -> transitive groups -> one
+    representative per group.
+
+    This is the glue the dedup family deliberately leaves to the
+    caller (module docstring): it wants the POST-GATE corpus (fewer
+    rows, redacted text) and its cost profile — a banded self-join —
+    is a stage of its own, run against a persisted/materialized
+    ``kept`` view, never fused into the single-scan tag plan.
+
+    ``method``:
+      - 'minhash'  : dedup.minhash_near_duplicates over cfg.text_col
+                     (near-dup TEXT at jaccard_threshold, default 0.7);
+      - 'semantic' : dedup.semantic_duplicates over an embedding column
+                     (pass vec_col=... in ``dedup_kwargs``);
+      - pass ``pairs=`` to skip pair generation entirely (any
+        (left_id, right_id) table, e.g. a previous run's output read
+        back from parquet).
+
+    Grouping is transitive (connected_components — A~B, B~C prunes C
+    even when A!~C, the Manku/SemDeDup semantics); the kept
+    representative is the group's MINIMUM id (deterministic,
+    order-free, same rule as the flagship's exact prededup). Returns
+    ``pruned`` (the training view) and ``dup_groups`` (the audit
+    table: every non-representative member with its group id).
+
+    Scale shape: pair generation is the banded/bucketed family path
+    (bounded blocks, logged drops); CC runs on the PAIR graph — near-
+    dup graphs are tiny relative to the corpus — and the final prune is
+    one id-keyed left-anti-shaped join of the corpus against the
+    cluster table, broadcastable whenever dup groups fit the threshold.
+    """
+    cfg = cfg or CorpusConfig()
+    if pairs is None:
+        if method == "minhash":
+            from cogie_spark.operators.dedup import minhash_near_duplicates
+
+            pairs = minhash_near_duplicates(
+                kept, id_col=cfg.id_col, text_col=cfg.text_col, **dedup_kwargs
+            )
+        elif method == "semantic":
+            from cogie_spark.operators.dedup import semantic_duplicates
+
+            pairs = semantic_duplicates(kept, id_col=cfg.id_col, **dedup_kwargs)
+        else:
+            raise ValueError(f"unknown method: {method!r}")
+
+    from cogie_spark.operators.cc import connected_components
+
+    groups = connected_components(
+        pairs.select("left_id", "right_id"), max_iter=cc_max_iter
+    )
+    members = groups.select(
+        F.col("file_id").alias(cfg.id_col), F.col("cluster_id").alias("dup_group_id")
+    )
+    # representative = the group's min id == the cluster_id itself, so
+    # the prune is "drop every member whose id != its group id";
+    # singletons never appear in the CC output and survive the
+    # left join with a NULL group id
+    pruned = (
+        kept.join(members, cfg.id_col, "left")
+        .filter(F.col("dup_group_id").isNull() | (F.col("dup_group_id") == F.col(cfg.id_col)))
+        .drop("dup_group_id")
+    )
+    dup_groups = members.filter(F.col("dup_group_id") != F.col(cfg.id_col))
+    return {"pruned": pruned, "dup_groups": dup_groups}

@@ -34,6 +34,16 @@ def main() -> None:
     )
     ap.add_argument("--pack-output", default=None,
                     help="parquet dir for the (id, pack_id, pack_slot) assignment")
+    ap.add_argument(
+        "--near-dup", choices=("off", "minhash", "semantic"), default="off",
+        help="near-duplicate pruning of the kept view (plans/corpus.py "
+             "near_dup_prune): transitive groups, min-id representative",
+    )
+    ap.add_argument("--near-dup-threshold", type=float, default=None,
+                    help="jaccard (minhash) / cosine (semantic) threshold; "
+                         "omit for the operator defaults")
+    ap.add_argument("--vec-col", default="embedding",
+                    help="embedding column for --near-dup semantic")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,18 +66,39 @@ def main() -> None:
     out = clean_corpus(docs, cfg)
     if args.tagged_output:
         out["tagged"].write.mode("overwrite").parquet(args.tagged_output)
-    if args.output:
-        if args.tagged_output:
-            # derive kept from the just-written audit bytes: writing
-            # both views from the same clean_corpus lineage would run
-            # the whole tag plan over the raw corpus TWICE
-            kept_src = kept_view(spark.read.parquet(args.tagged_output), cfg)
-        else:
-            kept_src = out["kept"]
-        kept_src.write.mode("overwrite").parquet(args.output)
-        kept = spark.read.parquet(args.output)
+    if args.tagged_output:
+        # derive kept from the just-written audit bytes: writing both
+        # views from the same clean_corpus lineage would run the whole
+        # tag plan over the raw corpus TWICE
+        kept = kept_view(spark.read.parquet(args.tagged_output), cfg)
     else:
         kept = out["kept"]
+    n_dup_pruned = None
+    if args.near_dup != "off":
+        from cogie_spark.plans.corpus import near_dup_prune
+
+        if not args.tagged_output:
+            # near-dup pair generation reads its input several times
+            # (signatures + verify joins); without written audit bytes
+            # to re-read, materialize the gate plan once
+            kept = kept.persist()
+        kw = {}
+        if args.near_dup == "minhash":
+            if args.near_dup_threshold is not None:
+                kw["jaccard_threshold"] = args.near_dup_threshold
+        else:
+            kw["vec_col"] = args.vec_col
+            if args.near_dup_threshold is not None:
+                kw["threshold"] = args.near_dup_threshold
+        nd = near_dup_prune(kept, cfg, method=args.near_dup, **kw)
+        n_dup_pruned = nd["dup_groups"].count()
+        kept = nd["pruned"]
+    if args.output:
+        # the training view on disk is the FINAL (gated, deduped,
+        # near-dup-pruned) one; downstream stats/packing read the
+        # written bytes instead of recomputing the plan
+        kept.write.mode("overwrite").parquet(args.output)
+        kept = spark.read.parquet(args.output)
     n_in = docs.count()
     n_kept = kept.count()
     stats = {
@@ -75,6 +106,8 @@ def main() -> None:
         "docs_kept": n_kept,
         "kept_frac": round(n_kept / max(n_in, 1), 4),
     }
+    if n_dup_pruned is not None:
+        stats["near_dup_pruned"] = n_dup_pruned
     if args.pack_budget > 0:
         from pyspark.sql import functions as F
 

@@ -86,3 +86,44 @@ def test_clean_corpus_lang_gate(spark):
     assert kept == [1]
     langs = {r["doc_id"]: r["lang_pred"] for r in out["tagged"].collect()}
     assert langs[1] == "en" and langs[2] != "en"
+
+
+def test_near_dup_prune_transitive_min_id(spark):
+    """pairs -> transitive groups -> min-id representative; singletons
+    survive; the audit table lists exactly the pruned members. Uses
+    pairs= directly so the grouping/prune semantics are tested apart
+    from any one pair generator."""
+    from cogie_spark.plans.corpus import near_dup_prune
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 9)], ["doc_id", "text"]
+    )
+    # chain 1~2, 2~3 (transitive: one group {1,2,3}); 4 and 9 singleton
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["left_id", "right_id"])
+    out = near_dup_prune(docs, CorpusConfig(), pairs=pairs)
+    kept_ids = {r["doc_id"] for r in out["pruned"].collect()}
+    assert kept_ids == {1, 4, 9}
+    audit = {(r["doc_id"], r["dup_group_id"]) for r in out["dup_groups"].collect()}
+    assert audit == {(2, 1), (3, 1)}
+
+
+def test_near_dup_prune_minhash_end_to_end(spark):
+    """Near-identical texts (one token edited) prune down to the min
+    id through the real minhash pair generator."""
+    from cogie_spark.plans.corpus import near_dup_prune
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz in the garden under paper lanterns strung from trees"
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base.replace("slow", "fast")),  # near-dup of 10
+            (12, "completely different content about compiler register allocation"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = near_dup_prune(docs, CorpusConfig(), method="minhash", jaccard_threshold=0.6)
+    kept_ids = {r["doc_id"] for r in out["pruned"].collect()}
+    assert kept_ids == {10, 12}
