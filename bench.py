@@ -138,7 +138,35 @@ def run_once(master: str, sf_dir: str, n_groups: int, shuffle: int):
     extras["corpus_docs_per_sec"] = round(n_docs / dt, 1)
 
     spark.stop()
+    _attach_eventlog_bytes(extras, n_pairs)
     return timings, extras
+
+
+def _attach_eventlog_bytes(out: dict, n_pairs: int) -> None:
+    """Opt-in engine-controlled scale metrics: when the caller exported
+    COGIE_EVENT_LOG, parse the just-closed app's event log and report
+    the byte totals the cluster PAID (scripts/eventlog_metrics.py) plus
+    shuffle-bytes-per-pair — the quantity that transfers to a real
+    cluster, unlike wall time on this shared-DRAM host. Off by default
+    so the timed path is byte-identical to prior rounds' protocol."""
+    elog = os.environ.get("COGIE_EVENT_LOG")
+    if not elog:
+        return
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from eventlog_metrics import newest_log, summarize
+
+        t = summarize(newest_log(elog))
+        out["input_bytes"] = t["input_bytes"]
+        out["shuffle_write_bytes"] = t["shuffle_write_bytes"]
+        out["shuffle_read_bytes"] = t["shuffle_read_bytes"]
+        out["executor_cpu_sec"] = t["executor_cpu_sec"]
+        if n_pairs:
+            out["shuffle_write_bytes_per_pair"] = round(
+                t["shuffle_write_bytes"] / n_pairs, 1
+            )
+    except Exception as e:  # never fail a bench run over a metrics read
+        out["eventlog_metrics_error"] = str(e)
 
 
 def main():
@@ -164,16 +192,14 @@ def main():
         n_pairs, n_clusters = _flagship(spark, fixture_path)
         dt = time.time() - t0
         spark.stop()
-        print(
-            json.dumps(
-                {
-                    "flagship_sec": round(dt, 2),
-                    "pairs_per_sec": round(n_pairs / dt, 1),
-                    "pairs_scored": n_pairs,
-                    "clusters": n_clusters,
-                }
-            )
-        )
+        leg = {
+            "flagship_sec": round(dt, 2),
+            "pairs_per_sec": round(n_pairs / dt, 1),
+            "pairs_scored": n_pairs,
+            "clusters": n_clusters,
+        }
+        _attach_eventlog_bytes(leg, n_pairs)
+        print(json.dumps(leg))
         return
 
     if "--scaling" in sys.argv:
