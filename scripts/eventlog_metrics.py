@@ -126,10 +126,73 @@ def summarize(log_file: str) -> dict:
     return totals
 
 
+def by_job(log_file: str) -> dict:
+    """Per-job-description byte/CPU attribution: map each stage to the
+    job that submitted it (SparkListenerJobStart carries the driver's
+    spark.job.description property and the job's stage IDs), then sum
+    TaskEnd metrics per description. Unlabeled jobs group under ''.
+    The same description across multiple actions accumulates — the
+    jobdesc labels (cogie:*) are stable stage names, so this is the
+    per-stage form of summarize()."""
+    stage_desc: dict[int, str] = {}
+    jobs: dict[str, dict] = {}
+
+    def bucket(desc: str) -> dict:
+        return jobs.setdefault(
+            desc,
+            {
+                "shuffle_write_bytes": 0,
+                "shuffle_read_bytes": 0,
+                "input_bytes": 0,
+                "executor_cpu_sec": 0.0,
+                "tasks": 0,
+            },
+        )
+
+    for part in _event_files(log_file):
+        with _open_text(part) as f:
+            for line in f:
+                if '"SparkListenerJobStart"' in line:
+                    try:
+                        ev = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    desc = (ev.get("Properties") or {}).get("spark.job.description", "")
+                    for sid in ev.get("Stage IDs", []):
+                        stage_desc[sid] = desc
+                elif '"SparkListenerTaskEnd"' in line:
+                    try:
+                        ev = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    m = ev.get("Task Metrics")
+                    if not m:
+                        continue
+                    b = bucket(stage_desc.get(ev.get("Stage ID"), ""))
+                    b["tasks"] += 1
+                    b["input_bytes"] += m.get("Input Metrics", {}).get("Bytes Read", 0)
+                    b["shuffle_write_bytes"] += m.get("Shuffle Write Metrics", {}).get(
+                        "Shuffle Bytes Written", 0
+                    )
+                    sr = m.get("Shuffle Read Metrics", {})
+                    b["shuffle_read_bytes"] += sr.get("Local Bytes Read", 0) + sr.get(
+                        "Remote Bytes Read", 0
+                    )
+                    b["executor_cpu_sec"] += m.get("Executor CPU Time", 0) / 1e9
+    for b in jobs.values():
+        b["executor_cpu_sec"] = round(b["executor_cpu_sec"], 2)
+    return jobs
+
+
 def main() -> None:
-    if len(sys.argv) != 2:
+    args = [a for a in sys.argv[1:] if a != "--by-job"]
+    if len(args) != 1:
         raise SystemExit(__doc__)
-    print(json.dumps(summarize(newest_log(sys.argv[1]))))
+    log = newest_log(args[0])
+    if "--by-job" in sys.argv:
+        print(json.dumps(by_job(log)))
+    else:
+        print(json.dumps(summarize(log)))
 
 
 if __name__ == "__main__":
