@@ -499,3 +499,86 @@ def test_corpus_stream_wiring_availablenow(spark):
     assert q.awaitTermination(1800), "stream did not terminate"
     kept = spark.read.parquet(f"{state_dir}/kept_*")
     assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+_ESSAY = (
+    "compilers translate a source program through parsing and semantic "
+    "analysis into an intermediate representation which the optimizer "
+    "transforms before code generation finally selects instructions and "
+    "allocates registers for the chosen target machine architecture"
+)
+
+
+def test_corpus_stream_near_dup_admission_gate(spark):
+    """near_dup=True extends first-seen-wins to NEAR-duplicates: a new
+    doc near-matching an admitted doc is dropped cross-batch, a
+    within-batch near-dup group keeps its min id, retries stay
+    idempotent, and the signature params are pinned in the manifest."""
+    import pytest as _pytest
+
+    from cogie_spark.plans.corpus import CorpusConfig
+    from cogie_spark.streaming.corpus import incremental_clean_batch
+
+    state = TableIO(spark, tempfile.mkdtemp(prefix="cogie_corpus_nd_"))
+    cfg = CorpusConfig(redact=False)
+
+    b0 = _docs(spark, [(1, _GOOD), (2, _ESSAY)])
+    k0 = incremental_clean_batch(b0, state, cfg, batch_id=0, near_dup=True)
+    assert sorted(r["doc_id"] for r in k0.collect()) == [1, 2]
+
+    near_old = _GOOD.replace("ordinary", "unusual")  # NOT exact, near-dup of 1
+    new_doc = (
+        "databases organize records into pages held by a buffer manager "
+        "while the query planner chooses join orders from statistics and "
+        "the transaction log preserves durability across every crash"
+    )
+    near_new = new_doc.replace("records", "tuples")  # within-batch near-dup of 20
+    b1 = _docs(spark, [(10, near_old), (20, new_doc), (21, near_new)])
+    k1 = incremental_clean_batch(b1, state, cfg, batch_id=1, near_dup=True)
+    assert sorted(r["doc_id"] for r in k1.collect()) == [20]
+
+    # retry (at-least-once): committed rows back, band state not
+    # double-appended
+    bands_before = spark.read.parquet(f"{state.base}/bands_*").count()
+    k1r = incremental_clean_batch(b1, state, cfg, batch_id=1, near_dup=True)
+    assert sorted(r["doc_id"] for r in k1r.collect()) == [20]
+    assert spark.read.parquet(f"{state.base}/bands_*").count() == bands_before
+    # band state covers exactly the admitted docs
+    band_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{state.base}/bands_*").collect()
+    }
+    assert band_ids == {1, 2, 20}
+
+    # changing signature params against pinned state must refuse
+    with _pytest.raises(ValueError, match="pinned"):
+        incremental_clean_batch(
+            _docs(spark, [(99, _ESSAY + " tail")]), state, cfg,
+            batch_id=2, near_dup=True, nd_num_perm=64,
+        )
+
+
+def test_corpus_stream_near_dup_survives_compaction(spark):
+    """Band-state compaction folds the deltas into a base generation and
+    the admission gate still drops near-dups of pre-compaction docs."""
+    from cogie_spark.plans.corpus import CorpusConfig
+    from cogie_spark.streaming.corpus import _read_manifest, incremental_clean_batch
+
+    state = TableIO(spark, tempfile.mkdtemp(prefix="cogie_corpus_ndc_"))
+    cfg = CorpusConfig(redact=False)
+
+    texts = {0: _GOOD, 1: _ESSAY}
+    for i in (0, 1):
+        incremental_clean_batch(
+            _docs(spark, [(i, texts[i])]), state, cfg,
+            batch_id=i, compact_every=2, near_dup=True,
+        )
+    man = _read_manifest(state)
+    assert man["base"] and man["base"].get("bands"), "bands folded into base"
+    assert not any(e.get("bands") for e in man["batches"])
+
+    # near-dup of the batch-0 doc, whose bands now live ONLY in the base
+    k2 = incremental_clean_batch(
+        _docs(spark, [(30, _GOOD.replace("ordinary", "unusual")), (31, _ESSAY + " x")]),
+        state, cfg, batch_id=2, compact_every=0, near_dup=True,
+    )
+    assert sorted(r["doc_id"] for r in k2.collect()) == []
