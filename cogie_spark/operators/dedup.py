@@ -230,8 +230,13 @@ def ngram_jaccard_pairs(
             sigs, id_col="_id", key_cols=key_cols, bands=bands,
             rows_per_band=num_perm // bands,
         )
+        # verified is eagerly checkpointed and dropped eagerly counted
+        # below, so candidate_pairs' internal caches are releasable
+        # before returning (no lazy consumer outlives this call)
+        cp_caches: list[DataFrame] = []
         pairs, dropped = candidate_pairs(
-            blocks, id_col="_id", key_cols=key_cols, max_block_size=max_block_size
+            blocks, id_col="_id", key_cols=key_cols,
+            max_block_size=max_block_size, release_into=cp_caches,
         )
         verified = _verify(pairs.select("left_id", "right_id")).localCheckpoint(eager=True)
         n_dropped = dropped.count()
@@ -246,6 +251,8 @@ def ngram_jaccard_pairs(
                 max_block_size,
             )
         side.unpersist()
+        for df in cp_caches:
+            df.unpersist()
         return verified
 
     a, b = side.alias("a"), side.alias("b")
@@ -553,8 +560,13 @@ def semantic_duplicates(
         side.select("_id", F.explode(lists(F.col("_v"))).alias("band_hash"))
         .withColumn("band_id", F.lit(0))
     )
+    # same eager-consumption shape as the banded n-gram path: verified
+    # is checkpointed and dropped counted before return, so the
+    # internal caches release here
+    cp_caches: list[DataFrame] = []
     pairs, dropped = candidate_pairs(
-        blocks, id_col="_id", key_cols=(), max_block_size=max_list_size
+        blocks, id_col="_id", key_cols=(), max_block_size=max_list_size,
+        release_into=cp_caches,
     )
     verified = (
         pairs.select("left_id", "right_id")
@@ -574,4 +586,6 @@ def semantic_duplicates(
             n_dropped, max_list_size,
         )
     side.unpersist()
+    for df in cp_caches:
+        df.unpersist()
     return verified

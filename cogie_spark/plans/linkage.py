@@ -186,7 +186,8 @@ def run_linkage(
         rows_per_band=cfg.num_perm // cfg.bands,
     )
     pairs, dropped = candidate_pairs(
-        blocks, id_col=cfg.id_col, key_cols=cfg.key_cols, max_block_size=cfg.max_block_size
+        blocks, id_col=cfg.id_col, key_cols=cfg.key_cols,
+        max_block_size=cfg.max_block_size, release_into=persisted,
     )
 
     # cascade + feature attach, FUSED: the pair table is the biggest

@@ -328,7 +328,8 @@ def _near_dup_gate(
 
     # within-batch transitive prune among the survivors
     self_pairs, _ = candidate_pairs(
-        nb, id_col=idc, key_cols=(), max_block_size=max_block_size
+        nb, id_col=idc, key_cols=(), max_block_size=max_block_size,
+        release_into=to_release,
     )
     surv_ids = kept.select(F.col(idc).alias("_cid"))
     self_pairs = (
