@@ -44,7 +44,19 @@ def main() -> None:
                          "omit for the operator defaults")
     ap.add_argument("--vec-col", default="embedding",
                     help="embedding column for --near-dup semantic")
+    ap.add_argument(
+        "--mix", default="",
+        help="target domain mix for the training view, e.g. "
+             "'en=0.6,fr=0.3,code=0.1' (operators/sampling.mix_sample); "
+             "proportions must sum to 1; requires --mix-budget",
+    )
+    ap.add_argument("--mix-budget", type=int, default=0,
+                    help="total token budget the --mix proportions apply to")
+    ap.add_argument("--mix-stratum-col", default="lang",
+                    help="column holding the stratum/domain label")
     args = ap.parse_args()
+    if bool(args.mix) != (args.mix_budget > 0):
+        ap.error("--mix and --mix-budget must be given together")
 
     from pyspark.sql import SparkSession
 
@@ -93,6 +105,27 @@ def main() -> None:
         nd = near_dup_prune(kept, cfg, method=args.near_dup, **kw)
         n_dup_pruned = nd["dup_groups"].count()
         kept = nd["pruned"]
+    mix_rows = None
+    if args.mix:
+        from pyspark.sql import functions as F
+
+        from cogie_spark.operators.sampling import mix_sample
+        from cogie_spark.operators.textstats import token_count
+
+        mix = {}
+        for part in args.mix.split(","):
+            s, _, p = part.partition("=")
+            mix[s.strip()] = float(p)
+        mix_rows = []
+        kept = mix_sample(
+            kept.withColumn("_mix_tokens", token_count(args.text_col)),
+            mix,
+            float(args.mix_budget),
+            stratum_col=args.mix_stratum_col,
+            weight_col="_mix_tokens",
+            id_col=args.id_col,
+            report=mix_rows,
+        ).drop("_mix_tokens")
     if args.output:
         # the training view on disk is the FINAL (gated, deduped,
         # near-dup-pruned) one; downstream stats/packing read the
@@ -108,6 +141,11 @@ def main() -> None:
     }
     if n_dup_pruned is not None:
         stats["near_dup_pruned"] = n_dup_pruned
+    if mix_rows is not None:
+        stats["mix"] = [
+            {k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()}
+            for r in mix_rows
+        ]
     if args.pack_budget > 0:
         from pyspark.sql import functions as F
 
@@ -121,10 +159,21 @@ def main() -> None:
             int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
             n_kept // 64,
         ))
+        # after --mix upsampling the id column is no longer unique
+        # (copy_idx numbers the extra epochs) — pack on a derived
+        # unique id so each copy occupies its own pack slot
+        pack_id_col = args.id_col
+        pack_in = kept
+        if mix_rows is not None:
+            pack_id_col = "_pack_id"
+            pack_in = kept.withColumn(
+                "_pack_id",
+                F.concat_ws("#", F.col(args.id_col).cast("string"), F.col("copy_idx")),
+            )
         packed = pack_sequences(
-            kept.select(args.id_col, token_count(args.text_col).alias("n_tokens")),
+            pack_in.select(pack_id_col, token_count(args.text_col).alias("n_tokens")),
             budget=args.pack_budget,
-            id_col=args.id_col,
+            id_col=pack_id_col,
             shards=shards,
         )
         if args.pack_output:
