@@ -336,6 +336,22 @@ def tfidf_cosine_batch(av, bv, idf_map: dict | None = None) -> np.ndarray:
         return out
     sa = pd.Series(av, dtype=object).fillna("")
     sb = pd.Series(bv, dtype=object).fillna("")
+    # pd.factorize hashes an all-string object array through a C-string
+    # table: an embedded NUL truncates the key, conflating tokens like
+    # '\x00' and '\x000' (hypothesis-found). Rows containing NUL take
+    # the row oracle — correct by definition, and the population is ~0
+    # in real text; the mask itself is one vectorized C pass.
+    nul = (
+        sa.str.contains("\x00", regex=False) | sb.str.contains("\x00", regex=False)
+    ).to_numpy(dtype=bool)
+    if nul.any():
+        clean = ~nul
+        out[clean] = tfidf_cosine_batch(
+            sa.to_numpy(dtype=object)[clean], sb.to_numpy(dtype=object)[clean], idf_map
+        )
+        for i in np.flatnonzero(nul):
+            out[i] = tfidf_cosine_row(sa.iat[i], sb.iat[i], idf_map)
+        return out
     rows_a, flat_a, len_a = _flatten_tokens(sa)
     rows_b, flat_b, len_b = _flatten_tokens(sb)
     both_empty = (len_a == 0) & (len_b == 0)

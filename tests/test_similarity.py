@@ -193,3 +193,21 @@ def test_tfidf_cosine_batch_hypothesis(pairs, use_idf):
     got = tfidf_cosine_batch(av, bv, idf)
     for i, (a, b) in enumerate(pairs):
         assert got[i] == tfidf_cosine_row(a, b, idf), (a, b, use_idf)
+
+
+def test_tfidf_cosine_batch_nul_bytes():
+    """Pinned hypothesis find: pd.factorize hashes object strings via a
+    C-string table, so an embedded NUL truncates the key and '\\x00'
+    vs '\\x000' conflated to cosine 1.0 (row oracle: 0.0). NUL rows now
+    take the row-oracle path; clean rows in the same batch keep the
+    vectorized result."""
+    import numpy as np
+
+    from cogie_spark.functions.similarity import tfidf_cosine_batch, tfidf_cosine_row
+
+    av = np.array(["\x00", "a b", "x\x00y q", None], dtype=object)
+    bv = np.array(["\x000", "a b", "x\x00y", "\x00"], dtype=object)
+    got = tfidf_cosine_batch(av, bv)
+    for i in range(len(av)):
+        assert got[i] == tfidf_cosine_row(av[i] or "", bv[i] or ""), i
+    assert got[0] == 0.0 and got[1] == 1.0
