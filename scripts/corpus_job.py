@@ -142,6 +142,9 @@ def main() -> None:
     if n_dup_pruned is not None:
         stats["near_dup_pruned"] = n_dup_pruned
     if mix_rows is not None:
+        # docs_kept counts emitted rows INCLUDING upsampled copies (so
+        # kept_frac can exceed 1); docs_unique is the distinct originals
+        stats["docs_unique"] = kept.filter(F.col("copy_idx") == 0).count()
         stats["mix"] = [
             {k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()}
             for r in mix_rows
