@@ -80,7 +80,10 @@ def mix_report(
         a = avail.pop(s, 0.0)
         target = p * budget
         rate = (target / a) if a > 0 else 0.0
-        action = "up" if rate > 1 else ("down" if rate < 1 else "keep")
+        if a == 0:
+            action = "absent"  # named in the mix, no supply — a loud typo guard
+        else:
+            action = "up" if rate > 1 else ("down" if rate < 1 else "keep")
         report.append(
             {"stratum": s, "available": a, "target": target, "rate": rate, "action": action}
         )

@@ -34,6 +34,7 @@ def test_report_arithmetic(spark):
     assert rows["en"]["rate"] == pytest.approx(250_000.0 / avail["en"])
     # stratum in the mix but absent from the data is visible, not silent
     assert rows["de"]["available"] == 0.0 and rows["de"]["rate"] == 0.0
+    assert rows["de"]["action"] == "absent"
     # every data stratum is accounted for (none here falls outside the mix)
     assert set(rows) == {"en", "fr", "code", "de"}
 
