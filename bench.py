@@ -138,7 +138,11 @@ def run_once(master: str, sf_dir: str, n_groups: int, shuffle: int):
     extras["corpus_docs_per_sec"] = round(n_docs / dt, 1)
 
     spark.stop()
-    _attach_eventlog_bytes(extras, n_pairs)
+    # n_pairs=0: this app ran the flagship PLUS six relational queries,
+    # the corpus-clean pass and fixture staging, so a per-PAIR quotient
+    # over whole-app bytes would be inflated and not comparable to the
+    # flagship-only --leg apps; report the honest whole-app totals only.
+    _attach_eventlog_bytes(extras, 0)
     return timings, extras
 
 

@@ -69,8 +69,12 @@ def mix_report(
     total_p = sum(mix.values())
     if not mix or abs(total_p - 1.0) > 1e-9:
         raise ValueError(f"mix proportions must sum to 1 (got {total_p})")
+    # null-safe on both sides of the agg: a NULL stratum (e.g. lang
+    # undetected) is a real group that can never be named in a mix —
+    # it lands in the 'drop' rows below; an all-NULL weight group sums
+    # to NULL -> 0 available.
     avail = {
-        r["s"]: float(r["w"])
+        r["s"]: float(r["w"] or 0.0)
         for r in df.groupBy(F.col(stratum_col).alias("s"))
         .agg(F.sum(F.col(weight_col)).alias("w"))
         .collect()
@@ -87,7 +91,7 @@ def mix_report(
         report.append(
             {"stratum": s, "available": a, "target": target, "rate": rate, "action": action}
         )
-    for s, a in sorted(avail.items()):
+    for s, a in sorted(avail.items(), key=lambda kv: (kv[0] is None, kv[0] or "")):
         report.append({"stratum": s, "available": a, "target": 0.0, "rate": 0.0, "action": "drop"})
     return report
 

@@ -169,56 +169,58 @@ def incremental_clean_batch(
         kept = kept.join(seen.select(_HASH), _HASH, "left_anti")
 
     bands_name = None
-    if near_dup:
-        params = {
-            "num_perm": nd_num_perm, "bands": nd_bands,
-            "shingle_k": nd_shingle_k, "threshold": jaccard_threshold,
-        }
-        pinned = manifest.get("near_dup_params")
-        if pinned is not None and pinned != params:
-            raise ValueError(
-                f"near-dup params {params} differ from the stream's pinned "
-                f"{pinned}; band state is not comparable across param changes"
+    # batch-scoped caches (batch rows + band table) — released in the
+    # finally below even when the commit fails mid-batch, so a long
+    # stream with foreachBatch retries never accumulates stranded
+    # persisted partitions from failed attempts
+    to_release: list[DataFrame] = []
+    try:
+        if near_dup:
+            params = {
+                "num_perm": nd_num_perm, "bands": nd_bands,
+                "shingle_k": nd_shingle_k, "threshold": jaccard_threshold,
+            }
+            pinned = manifest.get("near_dup_params")
+            if pinned is not None and pinned != params:
+                raise ValueError(
+                    f"near-dup params {params} differ from the stream's pinned "
+                    f"{pinned}; band state is not comparable across param changes"
+                )
+            manifest["near_dup_params"] = params
+            kept, nd_bands_df = _near_dup_gate(
+                kept, state, manifest, cfg,
+                jaccard_threshold=jaccard_threshold, num_perm=nd_num_perm,
+                bands=nd_bands, shingle_k=nd_shingle_k,
+                max_block_size=nd_max_block_size, to_release=to_release,
             )
-        manifest["near_dup_params"] = params
-        to_release: list[DataFrame] = []
-        kept, nd_bands_df = _near_dup_gate(
-            kept, state, manifest, cfg,
-            jaccard_threshold=jaccard_threshold, num_perm=nd_num_perm,
-            bands=nd_bands, shingle_k=nd_shingle_k,
-            max_block_size=nd_max_block_size, to_release=to_release,
-        )
-        bands_name = f"bands_{batch_id}"
+            bands_name = f"bands_{batch_id}"
 
-    kept_name = f"kept_{batch_id}"
-    state.write(kept_name, kept.withColumn("src_batch", F.lit(batch_id)))
-    committed = state.read(kept_name)
-    state.write(
-        f"hashes_{batch_id}",
-        committed.select(_HASH, "src_batch").dropDuplicates([_HASH]),
-    )
-    entry = {"batch_id": batch_id, "kept": kept_name, "hashes": f"hashes_{batch_id}"}
-    if bands_name is not None:
-        # bands of ADMITTED rows only — read back off the committed
-        # bytes so the band state matches the kept output exactly even
-        # if the upstream plan is nondeterministic
+        kept_name = f"kept_{batch_id}"
+        state.write(kept_name, kept.withColumn("src_batch", F.lit(batch_id)))
+        committed = state.read(kept_name)
         state.write(
-            bands_name,
-            nd_bands_df.join(
-                committed.select(F.col(cfg.id_col)), cfg.id_col, "left_semi"
-            ),
+            f"hashes_{batch_id}",
+            committed.select(_HASH, "src_batch").dropDuplicates([_HASH]),
         )
-        entry["bands"] = bands_name
-    manifest["batches"].append(entry)
-    _publish_manifest(state, manifest)
+        entry = {"batch_id": batch_id, "kept": kept_name, "hashes": f"hashes_{batch_id}"}
+        if bands_name is not None:
+            # bands of ADMITTED rows only — read back off the committed
+            # bytes so the band state matches the kept output exactly even
+            # if the upstream plan is nondeterministic
+            state.write(
+                bands_name,
+                nd_bands_df.join(
+                    committed.select(F.col(cfg.id_col)), cfg.id_col, "left_semi"
+                ),
+            )
+            entry["bands"] = bands_name
+        manifest["batches"].append(entry)
+        _publish_manifest(state, manifest)
 
-    n_deltas = sum(1 for e in manifest["batches"] if e.get("hashes"))
-    if compact_every and n_deltas >= compact_every:
-        _compact_hashes(spark, state, manifest)
-    if near_dup:
-        # batch-scoped caches (batch rows + band table) — released once
-        # the delta is committed, so a long stream never accumulates
-        # cached partitions from past micro-batches
+        n_deltas = sum(1 for e in manifest["batches"] if e.get("hashes"))
+        if compact_every and n_deltas >= compact_every:
+            _compact_hashes(spark, state, manifest)
+    finally:
         for df in to_release:
             df.unpersist()
     return committed.drop(_HASH, "src_batch")

@@ -52,8 +52,10 @@ def main() -> None:
     )
     ap.add_argument("--mix-budget", type=int, default=0,
                     help="total token budget the --mix proportions apply to")
-    ap.add_argument("--mix-stratum-col", default="lang",
-                    help="column holding the stratum/domain label")
+    ap.add_argument("--mix-stratum-col", default="lang_pred",
+                    help="column holding the stratum/domain label; the "
+                         "default is the language tag this job's own "
+                         "clean_corpus stage computes")
     args = ap.parse_args()
     if bool(args.mix) != (args.mix_budget > 0):
         ap.error("--mix and --mix-budget must be given together")

@@ -71,7 +71,13 @@ def _open_text(path: str):
     """Spark 4 compresses event-log parts (zstd by default; lz4/snappy
     configurable) — route compressed parts through pyarrow's codec
     stream, plain files through open()."""
-    ext = path.rsplit(".", 1)[-1]
+    # sniff the codec from the BASENAME (a dotted parent dir must not
+    # route an uncompressed part through a codec), and strip the v1
+    # '.inprogress' suffix first so a live compressed log still decodes
+    name = os.path.basename(path)
+    if name.endswith(".inprogress"):
+        name = name[: -len(".inprogress")]
+    ext = name.rsplit(".", 1)[-1]
     if ext in ("zstd", "lz4", "snappy", "gz"):
         import io
 

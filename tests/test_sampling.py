@@ -106,3 +106,26 @@ def test_row_path_has_no_exchange(spark):
     out = mix_sample(df, {"en": 0.6, "fr": 0.2, "code": 0.2}, 50_000.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_report_null_stratum_and_null_weights(spark):
+    """Code-review regression: a NULL stratum (lang undetected) must land
+    in the 'drop' rows instead of crashing the report sort, and a
+    stratum whose weights are all NULL must read as available=0
+    ('absent' when named in the mix), not TypeError on float(None)."""
+    df = spark.createDataFrame(
+        [
+            (0, "en", 100),
+            (1, None, 50),     # NULL stratum — never nameable in a mix
+            (2, "fr", None),   # named stratum, all-NULL supply
+            (3, None, None),
+        ],
+        "doc_id long, lang string, n_tokens long",
+    )
+    rows = {r["stratum"]: r for r in mix_report(df, {"en": 0.5, "fr": 0.5}, 100.0)}
+    assert rows["en"]["action"] == "down" and rows["en"]["available"] == 100.0
+    assert rows["fr"]["action"] == "absent" and rows["fr"]["available"] == 0.0
+    assert rows[None]["action"] == "drop" and rows[None]["available"] == 50.0
+    # and the sampler drops the NULL-stratum rows (consistent with 'drop')
+    out = mix_sample(df, {"en": 0.5, "fr": 0.5}, 100.0)
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} <= {0}
