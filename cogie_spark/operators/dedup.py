@@ -136,6 +136,54 @@ def minhash_near_duplicates(
     return verified
 
 
+def jaccard_verify_pairs(
+    pairs: DataFrame,
+    left_sets: DataFrame,
+    right_sets: DataFrame | None = None,
+    threshold: float = 0.5,
+    id_col: str = "_id",
+    set_col: str = "_g",
+) -> DataFrame:
+    """Exact set-Jaccard verification of candidate pairs — THE shared
+    definition of "near-duplicate at ``threshold``" every banded path
+    funnels through (ngram_jaccard_pairs' banded mode and the streaming
+    admission gate both call this; a change to the Jaccard expression
+    lands in one place so batch and streaming can never diverge).
+
+    ``pairs`` carries (left_id, right_id); ``left_sets``/``right_sets``
+    carry (``id_col``, ``set_col``) with DISTINCT set elements per row
+    (array_intersect/size are set ops). ``right_sets`` defaults to
+    ``left_sets`` for self-join candidates. Scale shape: two equi-joins
+    on the pair ids, the Jaccard itself is a per-row expression.
+    Returns (left_id, right_id, jaccard) at ``jaccard >= threshold``.
+    """
+    if right_sets is None:
+        right_sets = left_sets
+    return (
+        pairs.join(
+            left_sets.select(
+                F.col(id_col).alias("left_id"), F.col(set_col).alias("_lg")
+            ),
+            "left_id",
+        )
+        .join(
+            right_sets.select(
+                F.col(id_col).alias("right_id"), F.col(set_col).alias("_rg")
+            ),
+            "right_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_lg", "_rg")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.size("_lg") + F.size("_rg") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -180,25 +228,8 @@ def ngram_jaccard_pairs(
     )
 
     def _verify(pairs: DataFrame) -> DataFrame:
-        g = side.select("_id", "_g")
-        return (
-            pairs.join(
-                g.withColumnRenamed("_id", "left_id").withColumnRenamed("_g", "_lg"),
-                "left_id",
-            )
-            .join(
-                g.withColumnRenamed("_id", "right_id").withColumnRenamed("_g", "_rg"),
-                "right_id",
-            )
-            .withColumn("inter", F.size(F.array_intersect("_lg", "_rg")))
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("inter") / (F.size("_lg") + F.size("_rg") - F.col("inter")), 6
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("left_id", "right_id", "jaccard")
+        return jaccard_verify_pairs(
+            pairs, side.select("_id", "_g"), threshold=threshold
         )
 
     if method == "banded":

@@ -254,6 +254,7 @@ def _near_dup_gate(
         signature_table,
     )
     from cogie_spark.operators.cc import connected_components
+    from cogie_spark.operators.dedup import jaccard_verify_pairs
 
     spark = kept.sparkSession
     idc = cfg.id_col
@@ -282,25 +283,13 @@ def _near_dup_gate(
         )
 
     def _verify(pairs: DataFrame, left_sh: DataFrame, right_sh: DataFrame) -> DataFrame:
-        return (
-            pairs.join(
-                left_sh.withColumnRenamed("_sid", "left_id").withColumnRenamed("_sh", "_lsh"),
-                "left_id",
-            )
-            .join(
-                right_sh.withColumnRenamed("_sid", "right_id").withColumnRenamed("_sh", "_rsh"),
-                "right_id",
-            )
-            .withColumn("_inter", F.size(F.array_intersect("_lsh", "_rsh")))
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("_inter") / (F.size("_lsh") + F.size("_rsh") - F.col("_inter")), 6
-                ),
-            )
-            .filter(F.col("jaccard") >= jaccard_threshold)
-            .select("left_id", "right_id")
-        )
+        # the ONE shared near-dup-at-threshold definition — batch
+        # (dedup.ngram_jaccard_pairs banded) and this streaming gate
+        # cannot diverge on what counts as a duplicate
+        return jaccard_verify_pairs(
+            pairs, left_sh, right_sh,
+            threshold=jaccard_threshold, id_col="_sid", set_col="_sh",
+        ).select("left_id", "right_id")
 
     # cross-batch admission gate against the admitted band state
     band_names = _band_paths(manifest)
