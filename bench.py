@@ -59,8 +59,11 @@ def _stage_fixture(spark, n_groups: int) -> str:
 
     from cogie_spark.fixtures.codefiles import code_files
 
+    from cogie_spark.jobdesc import job_desc
+
     path = os.path.join(tempfile.gettempdir(), f"cogie_bench_fixture_g{n_groups}")
-    code_files(spark, n_groups=n_groups, seed=42).write.mode("overwrite").parquet(path)
+    with job_desc(spark, "cogie:bench-stage-fixture"):
+        code_files(spark, n_groups=n_groups, seed=42).write.mode("overwrite").parquet(path)
     return path
 
 
@@ -72,13 +75,16 @@ def _warmup(spark):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
+    from cogie_spark.jobdesc import job_desc
+
     # lambda form: immune to `from __future__ import annotations`
     # turning the type hints into unresolvable strings
     _identity = pandas_udf(lambda s: s * 1.0, DoubleType())
 
-    spark.range(100_000).select(
-        _identity(F.col("id").cast("double")).alias("x")
-    ).agg(F.sum("x")).collect()
+    with job_desc(spark, "cogie:bench-warmup"):
+        spark.range(100_000).select(
+            _identity(F.col("id").cast("double")).alias("x")
+        ).agg(F.sum("x")).collect()
 
 
 def _flagship(spark, fixture_path: str):
@@ -90,9 +96,15 @@ def _flagship(spark, fixture_path: str):
     cfg = LinkageConfig(
         cc_check_every=int(os.environ.get("COGIE_CC_CHECK_EVERY", "1"))
     )
+    from cogie_spark.jobdesc import job_desc
+
     out = run_linkage(files, cfg)
-    n_clusters = out["clusters"].select("cluster_id").distinct().count()
-    n_pairs = out["scored"].count()  # persisted by run_linkage — no recompute
+    # label the bench's own materializing actions so --by-job event-log
+    # attribution separates them from the pipeline's internal stages
+    with job_desc(spark, "cogie:bench-clusters-action"):
+        n_clusters = out["clusters"].select("cluster_id").distinct().count()
+    with job_desc(spark, "cogie:bench-pairs-action"):
+        n_pairs = out["scored"].count()  # persisted by run_linkage — no recompute
     return n_pairs, n_clusters
 
 

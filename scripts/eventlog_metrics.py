@@ -136,7 +136,9 @@ def by_job(log_file: str) -> dict:
     """Per-job-description byte/CPU attribution: map each stage to the
     job that submitted it (SparkListenerJobStart carries the driver's
     spark.job.description property and the job's stage IDs), then sum
-    TaskEnd metrics per description. Unlabeled jobs group under ''.
+    TaskEnd metrics per description. Jobs without a description (AQE
+    broadcast/subquery-pool jobs, parquet footer reads) group under a
+    named '(unlabeled: ...)' bucket.
     The same description across multiple actions accumulates — the
     jobdesc labels (cogie:*) are stable stage names, so this is the
     per-stage form of summarize()."""
@@ -163,7 +165,15 @@ def by_job(log_file: str) -> dict:
                         ev = json.loads(line)
                     except json.JSONDecodeError:
                         continue
-                    desc = (ev.get("Properties") or {}).get("spark.job.description", "")
+                    # jobs without a description are (verified on a
+                    # labeled bench run) AQE broadcast/subquery jobs —
+                    # Spark's exchange thread pool does not inherit the
+                    # job-description local property — plus the parquet
+                    # footer-read job at session open; name them so the
+                    # report doesn't show a bare '' bucket
+                    desc = (ev.get("Properties") or {}).get(
+                        "spark.job.description", ""
+                    ) or "(unlabeled: AQE broadcast/subquery pool, footer reads)"
                     for sid in ev.get("Stage IDs", []):
                         stage_desc[sid] = desc
                 elif '"SparkListenerTaskEnd"' in line:
