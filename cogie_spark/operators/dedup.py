@@ -118,22 +118,12 @@ def minhash_near_duplicates(
     sh = df.join(
         cand_ids, F.col(id_col) == F.col("_cid"), "left_semi"
     ).select(F.col(id_col).alias("_sid"), char_shingles(text_col, k=shingle_k).alias("_sh"))
-    verified = (
-        pairs.join(sh.withColumnRenamed("_sid", "left_id").withColumnRenamed("_sh", "_lsh"), "left_id")
-        .join(sh.withColumnRenamed("_sid", "right_id").withColumnRenamed("_sh", "_rsh"), "right_id")
-        .withColumn("inter", F.size(F.array_intersect("_lsh", "_rsh")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("_lsh") + F.size("_rsh") - F.col("inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("left_id", "right_id", "jaccard")
+    # shared exact-verify definition (jaccard_verify_pairs) — one place
+    # defines "near-duplicate at threshold" for minhash, banded n-gram
+    # and the streaming admission gate alike
+    return jaccard_verify_pairs(
+        pairs, sh, threshold=jaccard_threshold, id_col="_sid", set_col="_sh"
     )
-    return verified
 
 
 def jaccard_verify_pairs(
@@ -620,3 +610,138 @@ def semantic_duplicates(
     for df in cp_caches:
         df.unpersist()
     return verified
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    stride: int = 1,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Cross-document exact SUBSTRING dedup: excise every repeated
+    ``k``-token passage except its first-seen occurrence.
+
+    The dedup mode the row-level family (exact/MinHash/SimHash) cannot
+    express: two long documents that share one boilerplate passage are
+    NOT near-duplicates of each other, yet the passage is still
+    duplicated training text (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499 — the
+    suffix-array ExactSubstr dedup; this is its scalable
+    fingerprint-window restatement: every length-``k`` token window is
+    hashed, a window hash seen more than once keeps only the globally
+    first occurrence by (doc id, position), and all other occurrences
+    are merged into excision intervals).
+
+    Output: the input rows with ``text_col`` rebuilt from the kept
+    tokens plus ``n_tokens_removed`` / ``n_spans_removed`` audit
+    columns. Tokens are whitespace-delimited and the rebuilt text is
+    single-space joined — the operator's contract is token-stream
+    fidelity, not byte fidelity (same as the reference-class tools,
+    which operate on token ids).
+
+    Scale shape (10^12 files): ONE explode to (hash, doc, pos) rows —
+    linear in corpus tokens / ``stride`` — one groupBy on the 64-bit
+    window hash (the only wide shuffle; map-side combine reduces each
+    hash to its min occurrence before the exchange), one join back on
+    the hash, one groupBy doc to fold that doc's duplicate windows into
+    merged intervals, one join to the input on ``id_col``. Interval
+    merge and token excision are pure higher-order expressions — zero
+    Python in any row path. ``stride`` > 1 trades boundary precision
+    (up to stride-1 leaked duplicate tokens per span edge) for a
+    proportional cut in exploded rows; ``scope_col`` (e.g. lang) salts
+    the window hash so dedup never crosses scopes.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1 (got {stride})")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    scoped = F.concat_ws(
+        "\x1f", *( [F.col(scope_col)] if scope_col else [] )
+    )
+    base = df.withColumn("_toks", toks)
+    # window fingerprints at every `stride`-th start: xxhash64 over the
+    # k-token slice (US-separated so token boundaries can't alias)
+    wins = base.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(
+            F.expr(
+                # guard: a doc shorter than k tokens has no windows
+                # (sequence() rejects a negative stop)
+                f"CASE WHEN size(_toks) < {k} THEN cast(array() as array<bigint>) "
+                f"ELSE transform(sequence(0, size(_toks) - {k}, {stride}), "
+                f"i -> xxhash64(concat_ws('\\u001f', slice(_toks, i + 1, {k})))) END"
+            )
+        ).alias("_wi", "_h"),
+        (F.lit(stride) * F.col("_wi")).alias("_start"),
+        F.xxhash64(scoped).alias("_salt") if scope_col else F.lit(0).alias("_salt"),
+    ).select("_did", "_start", F.xxhash64("_h", "_salt").alias("_h"))
+    # first-seen owner per repeated hash: min (doc, start) — map-side
+    # combined into ONE struct per hash per partition before the shuffle
+    owners = (
+        wins.groupBy("_h")
+        .agg(
+            F.min(F.struct("_did", "_start")).alias("_own"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") > 1)
+        .select("_h", "_own")
+    )
+    dup_wins = (
+        wins.join(owners, "_h")
+        .filter(
+            (F.col("_did") != F.col("_own._did"))
+            | (F.col("_start") != F.col("_own._start"))
+        )
+        .select("_did", "_start", (F.col("_start") + F.lit(k)).alias("_end"))
+    )
+    # per-doc interval merge: sort starts, fold overlapping/adjacent
+    # windows into maximal excision spans — a pure aggregate() fold
+    spans = dup_wins.groupBy("_did").agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(struct(_start AS s, _end AS e))),
+              cast(array() as array<struct<s:bigint,e:bigint>>),
+              (acc, x) -> CASE
+                WHEN size(acc) > 0 AND element_at(acc, -1).e >= x.s THEN
+                  concat(
+                    slice(acc, 1, size(acc) - 1),
+                    array(named_struct(
+                      's', element_at(acc, -1).s,
+                      'e', greatest(element_at(acc, -1).e, x.e)))
+                  )
+                ELSE concat(acc, array(x))
+              END
+            )
+            """
+        ).alias("_spans")
+    )
+    out_cols = [c for c in df.columns]
+    kept_toks = F.expr(
+        """
+        filter(
+          zip_with(_toks, sequence(0, size(_toks) - 1),
+                   (t, i) -> CASE WHEN exists(_spans, sp -> i >= sp.s AND i < sp.e)
+                             THEN NULL ELSE t END),
+          t -> t IS NOT NULL
+        )
+        """
+    )
+    joined = base.join(
+        spans, F.col(id_col) == F.col("_did"), "left"
+    ).withColumn(
+        "_spans",
+        F.coalesce(
+            F.col("_spans"),
+            F.expr("cast(array() as array<struct<s:bigint,e:bigint>>)"),
+        ),
+    )
+    return joined.select(
+        *[c for c in out_cols if c != text_col],
+        F.concat_ws(" ", kept_toks).alias(text_col),
+        (F.size("_toks") - F.size(kept_toks)).alias("n_tokens_removed"),
+        F.size("_spans").alias("n_spans_removed"),
+    )

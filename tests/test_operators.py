@@ -675,3 +675,89 @@ def test_semantic_duplicates_clustered_recall(spark):
     s = {tuple(r) for r in sem.collect()}
     assert e, "fixture must plant near-dup pairs"
     assert s == e, f"missing={e - s} extra={s - e}"
+
+
+def test_substring_dedup_cross_doc_first_seen(spark):
+    """Shared 60-token passage: excised from every doc but the globally
+    first-seen (min doc id, position) occurrence; unrelated docs and
+    docs shorter than k pass through byte-identical (modulo the
+    documented single-space token join)."""
+    from cogie_spark.operators.dedup import substring_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "uno dos tres " + shared + " quatro"),
+            (3, "short doc under k tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(df, "doc_id", "text", k=50).collect()}
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["n_tokens_removed"] == 60 and out[2]["n_spans_removed"] == 1
+    assert out[2]["text"] == "uno dos tres quatro"
+    assert out[3]["text"] == "short doc under k tokens"
+    # audit columns account exactly for the token delta
+    assert len(out[2]["text"].split()) == len(df.collect()[1]["text"].split()) - 60
+
+
+def test_substring_dedup_within_doc_and_merge(spark):
+    """A doc repeating its own 50-gram loses the SECOND occurrence, and
+    when another doc already owns the passage EVERY copy excises; the
+    three back-to-back copies merge into one excision span (interval
+    merge, not per-window holes)."""
+    from cogie_spark.operators.dedup import substring_dedup
+
+    block = " ".join(f"r{i}" for i in range(50))
+    rep2 = f"x {block} y {block} z"
+    rep3 = f"a {block} {block} {block} b"
+    solo = spark.createDataFrame([(1, rep2)], "doc_id long, text string")
+    s = substring_dedup(solo, "doc_id", "text", k=50).collect()[0]
+    assert s["n_tokens_removed"] == 50 and s["n_spans_removed"] == 1
+    assert s["text"] == f"x {block} y z"
+    # cross-doc: doc 1 owns the block, so ALL of doc 2's copies (and
+    # its periodic self-overlap windows) collapse into ONE merged span
+    both = spark.createDataFrame([(1, rep2), (2, rep3)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dedup(both, "doc_id", "text", k=50).collect()}
+    assert out[1]["n_tokens_removed"] == 50
+    assert out[2]["n_tokens_removed"] == 150 and out[2]["n_spans_removed"] == 1
+    assert out[2]["text"] == "a b"
+
+
+def test_substring_dedup_scope_and_determinism(spark):
+    """scope_col salts the window hash (no cross-lang excision), and the
+    output multiset is identical across input partitionings — the
+    owner choice is a global min, not partition order."""
+    from cogie_spark.operators.dedup import substring_dedup
+
+    shared = " ".join(f"s{i}" for i in range(55))
+    rows = [
+        (1, "en", "lead " + shared + " tail"),
+        (2, "fr", "tete " + shared + " queue"),
+        (3, "en", "pre " + shared + " post"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    scoped = {
+        r["doc_id"]: r
+        for r in substring_dedup(df, "doc_id", "text", k=50, scope_col="lang").collect()
+    }
+    # doc 2 is the only fr doc -> untouched; doc 3 deduped against doc 1
+    assert scoped[1]["n_tokens_removed"] == 0
+    assert scoped[2]["n_tokens_removed"] == 0
+    assert scoped[3]["n_tokens_removed"] == 55
+    one = substring_dedup(df.repartition(1), "doc_id", "text", k=50)
+    many = substring_dedup(df.repartition(7, "lang"), "doc_id", "text", k=50)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def test_substring_dedup_plan_is_pure_jvm(spark):
+    """Scale invariants: zero Python nodes and no cartesian product in
+    the physical plan — the row path is codegen'd expressions."""
+    from cogie_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    out = substring_dedup(df, "doc_id", "text", k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
