@@ -52,6 +52,15 @@ def main() -> None:
     )
     ap.add_argument("--mix-budget", type=int, default=0,
                     help="total token budget the --mix proportions apply to")
+    ap.add_argument(
+        "--substr-dedup-k", type=int, default=0,
+        help="excise every repeated k-token passage except its first-seen "
+             "occurrence (dedup.substring_dedup; Lee et al. ExactSubstr); "
+             "0 = off. Runs after near-dup pruning, before --mix",
+    )
+    ap.add_argument("--substr-dedup-stride", type=int, default=1,
+                    help="window stride for --substr-dedup-k (>1 trades "
+                         "span-edge precision for fewer exploded rows)")
     ap.add_argument("--mix-stratum-col", default="lang_pred",
                     help="column holding the stratum/domain label; the "
                          "default is the language tag this job's own "
@@ -107,6 +116,24 @@ def main() -> None:
         nd = near_dup_prune(kept, cfg, method=args.near_dup, **kw)
         n_dup_pruned = nd["dup_groups"].count()
         kept = nd["pruned"]
+    substr_removed = None
+    if args.substr_dedup_k > 0:
+        from pyspark.sql import functions as F
+
+        from cogie_spark.operators.dedup import substring_dedup
+
+        kept = substring_dedup(
+            kept, args.id_col, args.text_col,
+            k=args.substr_dedup_k, stride=args.substr_dedup_stride,
+            scope_col="lang_pred" if "lang_pred" in kept.columns else None,
+        ).persist()  # the stats agg below and the downstream consumers
+        # (--output write / counts) otherwise each re-run the window
+        # explode + owner shuffle; one-shot job, session-end release
+        substr_removed = kept.agg(
+            F.sum("n_tokens_removed").alias("t"),
+            F.sum((F.col("n_spans_removed") > 0).cast("long")).alias("d"),
+        ).collect()[0]
+        kept = kept.drop("n_tokens_removed", "n_spans_removed")
     mix_rows = None
     if args.mix:
         from pyspark.sql import functions as F
@@ -143,6 +170,9 @@ def main() -> None:
     }
     if n_dup_pruned is not None:
         stats["near_dup_pruned"] = n_dup_pruned
+    if substr_removed is not None:
+        stats["substr_tokens_removed"] = int(substr_removed["t"] or 0)
+        stats["substr_docs_affected"] = int(substr_removed["d"] or 0)
     if mix_rows is not None:
         # docs_kept counts emitted rows INCLUDING upsampled copies (so
         # kept_frac can exceed 1); docs_unique is the distinct originals
