@@ -57,6 +57,38 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return to_min.unionAll(u_to_min).distinct()
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Unpersist the RDD behind a localCheckpoint'ed DataFrame.
+
+    ``DataFrame.unpersist()`` only talks to the CacheManager, which does
+    NOT track checkpoint RDDs — a localCheckpoint stays in the
+    SparkContext's persistent-RDD map for the session unless its
+    LogicalRDD's rdd is unpersisted directly. Best-effort: falls back to
+    the plain unpersist (a leaked cache beats a crash on an internal
+    plan-shape change)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return
+    except Exception:
+        pass
+    df.unpersist()
+
+
+class _CheckpointHandle:
+    """Duck-typed cache handle for release lists: callers uniformly
+    call .unpersist() on collected frames; for a localCheckpoint that
+    must route through :func:`_release_local_checkpoint`."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def unpersist(self, blocking: bool = False):
+        _release_local_checkpoint(self._df)
+        return self._df
+
+
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     """Cheap convergence check: (count, xor-ish sum of row hashes)."""
     row = edges.agg(
@@ -71,6 +103,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint=None,
     check_every: int = 1,
+    release_into: list | None = None,
 ) -> DataFrame:
     """Edge list (left_id, right_id) -> (file_id, cluster_id).
 
@@ -82,6 +115,17 @@ def connected_components(
     ``checkpoint``: optional CheckpointManager; when set, each iteration's
     edge set is committed as a resumable snapshot, and a restarted call
     continues from the last committed iteration.
+
+    ``release_into``: optional list collecting the FINAL round's
+    localCheckpoint DataFrame so loop-style callers (streaming
+    micro-batches) can unpersist it once the clusters are durably
+    committed — without it each batch leaks one session-lifetime
+    localCheckpoint. Superseded intermediate rounds are released
+    in-loop either way (each round's barrier materializes before its
+    predecessor is dropped, so nothing can need recomputing). CAUTION:
+    unpersisting a localCheckpoint deletes its only copy (lineage is
+    truncated) — callers must materialize/commit every derived output
+    BEFORE releasing, exactly the incremental_link_batch discipline.
 
     ``check_every``: convergence-check cadence (VERDICT r4 #7). 1 =
     fingerprint every round (default). k>1 = after round 3, rounds not
@@ -113,6 +157,19 @@ def connected_components(
         with job_desc(cur, "cogie:cc-seed"):
             cur = cur.localCheckpoint(eager=True)
 
+    # `owned` is the live localCheckpoint backing `cur` (None when cur
+    # is parquet-backed: resumed, or after a CheckpointManager commit).
+    # Each round releases its predecessor once the new barrier has
+    # MATERIALIZED — safe because nothing references the old round —
+    # otherwise every round leaks a session-lifetime cached RDD.
+    owned = cur if resumed is None else None
+
+    def _supersede(new_owned):
+        nonlocal owned
+        if owned is not None and owned is not new_owned:
+            _release_local_checkpoint(owned)
+        owned = new_owned
+
     # NOTE (round-4 A/B): batching TWO star-round pairs per fingerprint
     # sync (VERDICT r3 #2b) was built and measured 25 s SLOWER @8 on the
     # 200k-group fixture — each round references its input ~4 times, so
@@ -132,6 +189,7 @@ def connected_components(
             # commit() materializes (it counts the snapshot): the
             # barrier exists whether or not this round fingerprints
             cur = checkpoint.commit("cc_edges", cur, iteration=it + 1)
+            _supersede(None)  # parquet-backed now; the seed cp releases
         else:
             # LAZY checkpoint on cadence rounds: the fingerprint
             # aggregate below is the materializing action, so each sync
@@ -146,12 +204,23 @@ def connected_components(
             else:
                 with job_desc(cur, f"cogie:cc-round-{it}-nocheck"):
                     cur = cur.localCheckpoint(eager=True)
+                _supersede(cur)  # eager: materialized, prev releasable
         if do_check:
             with job_desc(cur, f"cogie:cc-round-{it}"):
                 fp = _fingerprint(cur)
+            if checkpoint is None:
+                # the fingerprint materialized the lazy checkpoint —
+                # the previous round's copy is now releasable
+                _supersede(cur)
             if fp == prev_fp:
                 break
             prev_fp = fp
+
+    # hand the FINAL localCheckpoint to the caller for post-commit
+    # release; with no release_into it stays session-lifetime (the
+    # one-shot batch-job behavior of rounds 1-4)
+    if release_into is not None and owned is not None:
+        release_into.append(_CheckpointHandle(owned))
 
     # converged: every node points at its component minimum
     labels = cur.groupBy("src").agg(F.min("dst").alias("cluster_id")).select(

@@ -295,6 +295,12 @@ def run_linkage(
         max_iter=cfg.cc_max_iter,
         checkpoint=checkpoint,
         check_every=cfg.cc_check_every,
+        # CC's final localCheckpoint joins _persisted so loop-style
+        # callers release it per batch; NOTE this makes the documented
+        # contract strict — materialize/commit every output BEFORE
+        # unpersisting _persisted (a released localCheckpoint cannot
+        # recompute; incremental_link_batch already commits first)
+        release_into=persisted,
     )
     # connected_components emits (file_id, cluster_id); align its node
     # column with cfg.id_col so custom id columns join correctly

@@ -336,7 +336,11 @@ def _near_dup_gate(
         idc,
     )
     matched = _verify(self_pairs, batch_sh, batch_sh)
-    groups = connected_components(matched)
+    # release_into: CC's final localCheckpoint joins the batch-scoped
+    # caches released at commit — without it every micro-batch leaks
+    # session-lifetime checkpoint RDDs (superseded rounds release
+    # inside connected_components itself)
+    groups = connected_components(matched, release_into=to_release)
     non_rep = groups.filter(F.col("cluster_id") != F.col("file_id")).select(
         F.col("file_id").alias(idc)
     )

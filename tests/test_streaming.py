@@ -582,3 +582,47 @@ def test_corpus_stream_near_dup_survives_compaction(spark):
         state, cfg, batch_id=2, compact_every=0, near_dup=True,
     )
     assert sorted(r["doc_id"] for r in k2.collect()) == []
+
+
+def test_corpus_near_dup_failed_batch_releases_caches(spark, monkeypatch):
+    """Code-review regression: a micro-batch that fails AFTER the
+    near-dup gate persisted its batch-scoped frames must still release
+    them (try/finally) — under foreachBatch retries a long stream must
+    not accumulate stranded cached partitions from failed attempts."""
+    import pytest as _pytest
+
+    from cogie_spark.io.tableio import TableIO as _TIO
+    from cogie_spark.plans.corpus import CorpusConfig
+    from cogie_spark.streaming.corpus import incremental_clean_batch
+
+    def _cached_count():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    state = TableIO(spark, tempfile.mkdtemp(prefix="cogie_corpus_fail_"))
+    cfg = CorpusConfig(redact=False)
+    before = _cached_count()
+
+    boom = RuntimeError("simulated transient FS failure")
+    real_write = _TIO.write
+
+    def failing_write(self, name, df, *a, **kw):
+        if name.startswith("hashes_"):
+            raise boom
+        return real_write(self, name, df, *a, **kw)
+
+    monkeypatch.setattr(_TIO, "write", failing_write)
+    with _pytest.raises(RuntimeError, match="simulated transient"):
+        incremental_clean_batch(
+            _docs(spark, [(1, _GOOD), (2, _ESSAY)]), state,
+            cfg, batch_id=0, near_dup=True,
+        )
+    monkeypatch.setattr(_TIO, "write", real_write)
+    assert _cached_count() == before, "failed batch stranded persisted frames"
+
+    # the retry (same batch_id) succeeds cleanly on the restored writer
+    k0 = incremental_clean_batch(
+        _docs(spark, [(1, _GOOD), (2, _ESSAY)]), state,
+        cfg, batch_id=0, near_dup=True,
+    )
+    assert sorted(r["doc_id"] for r in k0.collect()) == [1, 2]
+    assert _cached_count() == before
