@@ -617,7 +617,7 @@ def substring_dedup(
     id_col: str,
     text_col: str,
     k: int = 50,
-    stride: int = 1,
+    winnow: int = 1,
     scope_col: str | None = None,
 ) -> DataFrame:
     """Cross-document exact SUBSTRING dedup: excise every repeated
@@ -630,70 +630,133 @@ def substring_dedup(
     Data Makes Language Models Better", arXiv:2107.06499 — the
     suffix-array ExactSubstr dedup; this is its scalable
     fingerprint-window restatement: every length-``k`` token window is
-    hashed, a window hash seen more than once keeps only the globally
-    first occurrence by (doc id, position), and all other occurrences
-    are merged into excision intervals).
+    fingerprinted, a fingerprint seen more than once keeps only the
+    globally first occurrence by (doc id, position), and all other
+    occurrences are merged into excision intervals).
 
     Output: the input rows with ``text_col`` rebuilt from the kept
     tokens plus ``n_tokens_removed`` / ``n_spans_removed`` audit
     columns. Tokens are whitespace-delimited and the rebuilt text is
     single-space joined — the operator's contract is token-stream
     fidelity, not byte fidelity (same as the reference-class tools,
-    which operate on token ids).
+    which operate on token ids). A NULL ``text_col`` passes through as
+    NULL with zero-valued audit columns.
 
-    Scale shape (10^12 files): ONE explode to (hash, doc, pos) rows —
-    linear in corpus tokens / ``stride`` — one groupBy on the 64-bit
-    window hash (the only wide shuffle; map-side combine reduces each
-    hash to its min occurrence before the exchange), one join back on
-    the hash, one groupBy doc to fold that doc's duplicate windows into
-    merged intervals, one join to the input on ``id_col``. Interval
-    merge and token excision are pure higher-order expressions — zero
-    Python in any row path. ``stride`` > 1 trades boundary precision
-    (up to stride-1 leaked duplicate tokens per span edge) for a
-    proportional cut in exploded rows; ``scope_col`` (e.g. lang) salts
-    the window hash so dedup never crosses scopes.
+    Correctness guards (each review-found and regression-tested):
+
+    - **The kept first occurrence is never eroded.** Same-fingerprint
+      windows that OVERLAP the owner's window inside the owner doc are
+      not excised (content with self-repeat period < k — boilerplate
+      runs, markup — previously lost its canonical copy too; now up to
+      k-1 repeat tokens adjacent to the first occurrence survive
+      instead, the safe direction).
+    - **128-bit effective fingerprints.** Windows key on TWO xxhash64
+      values under independent seeds; a false excision needs both to
+      collide (~n^2/2^129 — negligible at the 10^12-window scale where
+      single-64-bit birthday collisions would excise millions of
+      unique passages).
+    - **Alignment-independent subsampling.** ``winnow`` > 1 selects
+      ~1/winnow of window starts by WINNOWING (Schleimer et al. 2003,
+      the q29 fingerprint trick): each run of ``winnow`` consecutive
+      starts contributes its min-fingerprint position, so selection is
+      content-defined — both copies of a shared passage select the
+      SAME interior windows no matter their offsets (a positional
+      stride misses offsets differing mod stride entirely), and
+      consecutive selections are <= winnow apart so their k-token
+      spans always merge (winnow <= k enforced). Precision cost: up to
+      winnow-1 leaked duplicate tokens per passage edge; detection
+      needs passages ~k + 2*winnow tokens long (boundary winnowing
+      windows see differing context per copy).
+
+    Scale shape (10^12 files): ONE explode to (doc, pos, fp128) rows —
+    ~corpus tokens / ``winnow`` — ONE wide shuffle of those rows (a
+    window over the fingerprint key computes first-seen owner and
+    occurrence count in a single pass; the groupBy+self-join form
+    shuffled and recomputed the fingerprint pipeline twice, and
+    map-side combine buys nothing over mostly-unique fingerprints),
+    one groupBy doc folding duplicate windows into merged intervals,
+    one join to the input on ``id_col``. Interval merge and token
+    excision are pure higher-order expressions — zero Python in any
+    row path. ``scope_col`` (e.g. lang) joins the partition key
+    directly (exact isolation — a salt hash could collide scopes), so
+    dedup never crosses scopes; use short low-cardinality scope keys.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k})")
-    if stride < 1:
-        raise ValueError(f"stride must be >= 1 (got {stride})")
+    if not 1 <= winnow <= k:
+        raise ValueError(f"winnow must be in [1, k={k}] (got {winnow})")
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    scoped = F.concat_ws(
-        "\x1f", *( [F.col(scope_col)] if scope_col else [] )
-    )
     base = df.withColumn("_toks", toks)
-    # window fingerprints at every `stride`-th start: xxhash64 over the
-    # k-token slice (US-separated so token boundaries can't alias)
+    # all window fingerprints: xxhash64 over the k-token slice
+    # (US-separated so token boundaries can't alias); a doc shorter
+    # than k tokens (or NULL text: size = -1) has no windows
+    base = base.withColumn(
+        "_hs",
+        F.expr(
+            f"CASE WHEN size(_toks) < {k} THEN cast(array() as array<bigint>) "
+            f"ELSE transform(sequence(0, size(_toks) - {k}), "
+            f"i -> xxhash64(concat_ws('\\u001f', slice(_toks, i + 1, {k})))) END"
+        ),
+    )
+    # selected window starts: every start at winnow=1, else winnowing
+    # (leftmost-min per run of `winnow` consecutive fingerprints —
+    # content-defined, so duplicate passages select identically)
+    if winnow == 1:
+        sel_sql = (
+            "CASE WHEN size(_hs) = 0 THEN cast(array() as array<int>) "
+            "ELSE sequence(0, size(_hs) - 1) END"
+        )
+    else:
+        sel_sql = (
+            f"CASE WHEN size(_hs) = 0 THEN cast(array() as array<int>) "
+            f"ELSE array_distinct(transform("
+            f"sequence(0, greatest(size(_hs) - {winnow}, 0)), "
+            f"p -> cast(p + array_position(slice(_hs, p + 1, {winnow}), "
+            f"array_min(slice(_hs, p + 1, {winnow}))) - 1 AS int))) END"
+        )
+    base = base.withColumn("_sel", F.expr(sel_sql))
+    # second fingerprint under an independent seed, for SELECTED starts
+    # only (leading literal reseeds xxhash64 BEFORE the content — the
+    # trailing-literal form xxhash64(s, 1) is a pure function of
+    # xxhash64(s) and adds no collision protection)
     wins = base.select(
         F.col(id_col).alias("_did"),
-        F.posexplode(
+        (F.col(scope_col) if scope_col else F.lit(0)).alias("_scope"),
+        F.explode(
             F.expr(
-                # guard: a doc shorter than k tokens has no windows
-                # (sequence() rejects a negative stop)
-                f"CASE WHEN size(_toks) < {k} THEN cast(array() as array<bigint>) "
-                f"ELSE transform(sequence(0, size(_toks) - {k}, {stride}), "
-                f"i -> xxhash64(concat_ws('\\u001f', slice(_toks, i + 1, {k})))) END"
+                f"transform(_sel, i -> named_struct("
+                f"'s', cast(i as bigint), "
+                f"'h1', element_at(_hs, i + 1), "
+                f"'h2', xxhash64(1, concat_ws('\\u001f', slice(_toks, i + 1, {k})))))"
             )
-        ).alias("_wi", "_h"),
-        (F.lit(stride) * F.col("_wi")).alias("_start"),
-        F.xxhash64(scoped).alias("_salt") if scope_col else F.lit(0).alias("_salt"),
-    ).select("_did", "_start", F.xxhash64("_h", "_salt").alias("_h"))
-    # first-seen owner per repeated hash: min (doc, start) — map-side
-    # combined into ONE struct per hash per partition before the shuffle
-    owners = (
-        wins.groupBy("_h")
-        .agg(
-            F.min(F.struct("_did", "_start")).alias("_own"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .filter(F.col("_n") > 1)
-        .select("_h", "_own")
+        ).alias("_w"),
+    ).select(
+        "_did",
+        "_scope",
+        F.col("_w.s").alias("_start"),
+        F.col("_w.h1").alias("_h1"),
+        F.col("_w.h2").alias("_h2"),
     )
+    # first-seen owner per repeated fingerprint: min (doc, start), as
+    # window functions over the fingerprint key — ONE shuffle and ONE
+    # pass over the fingerprint rows. (The groupBy-owners + self-join
+    # form shuffles AND recomputes the explode/hash pipeline twice,
+    # and map-side combine buys nothing here: most window fingerprints
+    # are unique, so partial aggregation barely shrinks the exchange.)
+    from pyspark.sql import Window
+
+    wkey = Window.partitionBy("_scope", "_h1", "_h2")
     dup_wins = (
-        wins.join(owners, "_h")
+        wins.withColumn("_own", F.min(F.struct("_did", "_start")).over(wkey))
+        .withColumn("_n", F.count(F.lit(1)).over(wkey))
+        .filter(F.col("_n") > 1)
+        # excise every occurrence EXCEPT windows overlapping the kept
+        # first occurrence in the owner doc itself (within the owner
+        # doc _start > _own._start always, so >= start+k is exactly
+        # "clear of the kept copy")
         .filter(
             (F.col("_did") != F.col("_own._did"))
-            | (F.col("_start") != F.col("_own._start"))
+            | (F.col("_start") >= F.col("_own._start") + F.lit(k))
         )
         .select("_did", "_start", (F.col("_start") + F.lit(k)).alias("_end"))
     )
@@ -739,9 +802,17 @@ def substring_dedup(
             F.expr("cast(array() as array<struct<s:bigint,e:bigint>>)"),
         ),
     )
+    # NULL text passes through (split/filter leave _toks NULL): rebuilt
+    # text stays NULL and the audit columns read "nothing removed" —
+    # coercing to '' broke IS NULL semantics and NULL audit arithmetic
+    no_toks = F.col("_toks").isNull()
     return joined.select(
         *[c for c in out_cols if c != text_col],
-        F.concat_ws(" ", kept_toks).alias(text_col),
-        (F.size("_toks") - F.size(kept_toks)).alias("n_tokens_removed"),
+        F.when(no_toks, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", kept_toks))
+        .alias(text_col),
+        F.when(no_toks, F.lit(0))
+        .otherwise(F.size("_toks") - F.size(kept_toks))
+        .alias("n_tokens_removed"),
         F.size("_spans").alias("n_spans_removed"),
     )

@@ -58,9 +58,12 @@ def main() -> None:
              "occurrence (dedup.substring_dedup; Lee et al. ExactSubstr); "
              "0 = off. Runs after near-dup pruning, before --mix",
     )
-    ap.add_argument("--substr-dedup-stride", type=int, default=1,
-                    help="window stride for --substr-dedup-k (>1 trades "
-                         "span-edge precision for fewer exploded rows)")
+    ap.add_argument("--substr-dedup-winnow", type=int, default=1,
+                    help="winnowing window for --substr-dedup-k (>1 keeps "
+                         "~1/winnow of window starts via content-defined "
+                         "min-fingerprint selection — alignment-independent, "
+                         "unlike a positional stride; trades span-edge "
+                         "precision for fewer exploded rows)")
     ap.add_argument("--mix-stratum-col", default="lang_pred",
                     help="column holding the stratum/domain label; the "
                          "default is the language tag this job's own "
@@ -124,7 +127,7 @@ def main() -> None:
 
         kept = substring_dedup(
             kept, args.id_col, args.text_col,
-            k=args.substr_dedup_k, stride=args.substr_dedup_stride,
+            k=args.substr_dedup_k, winnow=args.substr_dedup_winnow,
             scope_col="lang_pred" if "lang_pred" in kept.columns else None,
         ).persist()  # the stats agg below and the downstream consumers
         # (--output write / counts) otherwise each re-run the window

@@ -761,3 +761,76 @@ def test_substring_dedup_plan_is_pure_jvm(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_substring_dedup_winnow_is_alignment_independent(spark):
+    """Review regression: positional stride>1 silently missed duplicate
+    passages whose start offsets differ mod stride. Winnowing selection
+    is content-defined — both copies of a shared passage select the
+    same interior windows regardless of offset — so the misaligned copy
+    is excised at every winnow level (bulk coverage; up to winnow-1
+    edge tokens may leak by the documented precision contract)."""
+    from cogie_spark.operators.dedup import substring_dedup
+
+    passage = " ".join(f"p{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage),          # passage at offset 2
+            (2, "uno dos tres " + passage),        # passage at offset 3
+        ],
+        "doc_id long, text string",
+    )
+    for w in (2, 4):
+        out = {
+            r["doc_id"]: r
+            for r in substring_dedup(df, "doc_id", "text", k=50, winnow=w).collect()
+        }
+        assert out[1]["n_tokens_removed"] == 0, f"owner eroded at winnow={w}"
+        assert out[2]["n_tokens_removed"] >= 60 - (w - 1), (
+            f"winnow={w}: misaligned duplicate passage missed "
+            f"(removed {out[2]['n_tokens_removed']})"
+        )
+        assert out[2]["text"].startswith("uno dos tres")
+
+
+def test_substring_dedup_first_occurrence_survives_self_overlap(spark):
+    """Review regression: content with self-repeat period < k (k=50
+    over 100 identical tokens) previously eroded its own kept first
+    occurrence to a 1-token fragment — overlapping same-fingerprint
+    windows inside the owner doc excised tokens of the canonical copy.
+    The first k tokens must survive intact."""
+    from cogie_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["na"] * 100))], "doc_id long, text string"
+    )
+    row = substring_dedup(df, "doc_id", "text", k=50).collect()[0]
+    assert row["text"] == " ".join(["na"] * 50)
+    assert row["n_tokens_removed"] == 50 and row["n_spans_removed"] == 1
+
+
+def test_substring_dedup_null_text_passes_through(spark):
+    """Review regression: a NULL text row must stay NULL (not coerce to
+    '') with zero-valued audit columns, so downstream IS NULL filters
+    and n_tokens_removed arithmetic keep working."""
+    from cogie_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "just a short doc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(df, "doc_id", "text", k=5).collect()}
+    assert out[1]["text"] is None
+    assert out[1]["n_tokens_removed"] == 0 and out[1]["n_spans_removed"] == 0
+    assert out[2]["text"] == "just a short doc"
+
+
+def test_substring_dedup_validates_winnow(spark):
+    import pytest
+
+    from cogie_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="winnow"):
+        substring_dedup(df, "doc_id", "text", k=5, winnow=0)
+    with pytest.raises(ValueError, match="winnow"):
+        substring_dedup(df, "doc_id", "text", k=5, winnow=6)
