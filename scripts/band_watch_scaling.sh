@@ -44,25 +44,29 @@ run_pair() {  # $1 = n_groups, $2 = out json; returns 0 iff band_ok
   [ "$band_ok" = "True" ]
 }
 
-DONE_450=0
+# Session-9 priority flip: the missing datum is a band-clean 900k
+# pair (both prior attempts lost to band collapse / degraded band);
+# 450k is already covered by the standing 0.573 best, so it runs
+# second, only if the window survives the 900k pair.
+DONE_900=0
 for i in $(seq 1 27); do
   echo "poll $i"
   if band_healthy; then
-    if [ "$DONE_450" = "0" ]; then
-      if run_pair 450000 "$OUTDIR/scaling_r5s7_450k.json"; then
-        DONE_450=1
-        # band survived the 450k pair — try the missing 900k point
-        # immediately while the window holds
+    if [ "$DONE_900" = "0" ]; then
+      if run_pair 900000 "$OUTDIR/scaling_r5s9_900k.json"; then
+        DONE_900=1
+        # band survived the 900k pair — try a 450k replicate while
+        # the window holds
         if band_healthy; then
-          run_pair 900000 "$OUTDIR/scaling_r5s7_900k.json" && exit 0
-          echo "900k pair band-contaminated; resuming polling for it"
+          run_pair 450000 "$OUTDIR/scaling_r5s9_450k.json" && exit 0
+          echo "450k pair band-contaminated; resuming polling for it"
         fi
       else
-        echo "450k pair was band-contaminated; resuming polling"
+        echo "900k pair was band-contaminated; resuming polling"
       fi
     else
-      run_pair 900000 "$OUTDIR/scaling_r5s7_900k.json" && exit 0
-      echo "900k pair band-contaminated; resuming polling"
+      run_pair 450000 "$OUTDIR/scaling_r5s9_450k.json" && exit 0
+      echo "450k pair band-contaminated; resuming polling"
     fi
   fi
   sleep 600
