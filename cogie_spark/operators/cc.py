@@ -180,41 +180,54 @@ def connected_components(
     prev_fp = None
     from cogie_spark.jobdesc import job_desc
 
-    for it in range(start_iter, max_iter):
-        cur = _small_star(_large_star(cur))
-        do_check = check_every <= 1 or it < 3 or (it - 3) % check_every == 0
-        # truncate lineage every round — iterative joins otherwise build
-        # an exponentially deep plan that stalls the optimizer
-        if checkpoint is not None:
-            # commit() materializes (it counts the snapshot): the
-            # barrier exists whether or not this round fingerprints
-            cur = checkpoint.commit("cc_edges", cur, iteration=it + 1)
-            _supersede(None)  # parquet-backed now; the seed cp releases
-        else:
-            # LAZY checkpoint on cadence rounds: the fingerprint
-            # aggregate below is the materializing action, so each sync
-            # runs ONE job (compute + checkpoint + convergence stats)
-            # instead of an eager materialization job followed by a
-            # fingerprint job — the per-iteration driver constant
-            # halves (VERDICT r2 #6). Off-cadence rounds keep the
-            # barrier as an EAGER checkpoint — one job, no fingerprint
-            # scan and no driver aggregation round-trip.
-            if do_check:
-                cur = cur.localCheckpoint(eager=False)
+    try:
+        for it in range(start_iter, max_iter):
+            cur = _small_star(_large_star(cur))
+            do_check = check_every <= 1 or it < 3 or (it - 3) % check_every == 0
+            # truncate lineage every round — iterative joins otherwise build
+            # an exponentially deep plan that stalls the optimizer
+            if checkpoint is not None:
+                # commit() materializes (it counts the snapshot): the
+                # barrier exists whether or not this round fingerprints
+                cur = checkpoint.commit("cc_edges", cur, iteration=it + 1)
+                _supersede(None)  # parquet-backed now; the seed cp releases
             else:
-                with job_desc(cur, f"cogie:cc-round-{it}-nocheck"):
-                    cur = cur.localCheckpoint(eager=True)
-                _supersede(cur)  # eager: materialized, prev releasable
-        if do_check:
-            with job_desc(cur, f"cogie:cc-round-{it}"):
-                fp = _fingerprint(cur)
-            if checkpoint is None:
-                # the fingerprint materialized the lazy checkpoint —
-                # the previous round's copy is now releasable
-                _supersede(cur)
-            if fp == prev_fp:
-                break
-            prev_fp = fp
+                # LAZY checkpoint on cadence rounds: the fingerprint
+                # aggregate below is the materializing action, so each sync
+                # runs ONE job (compute + checkpoint + convergence stats)
+                # instead of an eager materialization job followed by a
+                # fingerprint job — the per-iteration driver constant
+                # halves (VERDICT r2 #6). Off-cadence rounds keep the
+                # barrier as an EAGER checkpoint — one job, no fingerprint
+                # scan and no driver aggregation round-trip.
+                if do_check:
+                    cur = cur.localCheckpoint(eager=False)
+                else:
+                    with job_desc(cur, f"cogie:cc-round-{it}-nocheck"):
+                        cur = cur.localCheckpoint(eager=True)
+                    _supersede(cur)  # eager: materialized, prev releasable
+            if do_check:
+                with job_desc(cur, f"cogie:cc-round-{it}"):
+                    fp = _fingerprint(cur)
+                if checkpoint is None:
+                    # the fingerprint materialized the lazy checkpoint —
+                    # the previous round's copy is now releasable
+                    _supersede(cur)
+                if fp == prev_fp:
+                    break
+                prev_fp = fp
+    except BaseException:
+        # failure mid-loop (executor loss, FS error during a checkpoint
+        # or the fingerprint collect): release every live checkpoint
+        # THIS call owns before propagating, so foreachBatch retries do
+        # not accumulate one stranded session-lifetime RDD per failed
+        # attempt. Best-effort: `cur` may be a plain derived frame or a
+        # not-yet-materialized lazy checkpoint — both release harmlessly.
+        if owned is not None:
+            _release_local_checkpoint(owned)
+        if cur is not owned:
+            _release_local_checkpoint(cur)
+        raise
 
     # hand the FINAL localCheckpoint to the caller for post-commit
     # release; with no release_into it stays session-lifetime (the

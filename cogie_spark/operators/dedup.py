@@ -663,23 +663,26 @@ def substring_dedup(
       SAME interior windows no matter their offsets (a positional
       stride misses offsets differing mod stride entirely), and
       consecutive selections are <= winnow apart so their k-token
-      spans always merge (winnow <= k enforced). Precision cost: up to
-      winnow-1 leaked duplicate tokens per passage edge; detection
-      needs passages ~k + 2*winnow tokens long (boundary winnowing
-      windows see differing context per copy).
+      spans always merge (winnow <= k enforced), and the LAST window
+      start is always selected (tail guard — see the inline comment).
+      Precision cost: up to winnow-1 leaked duplicate tokens per
+      passage edge (2*(winnow-1) per passage); detection needs
+      passages ~k + 2*winnow tokens long (boundary winnowing windows
+      see differing context per copy).
 
     Scale shape (10^12 files): ONE explode to (doc, pos, fp128) rows —
-    ~corpus tokens / ``winnow`` — ONE wide shuffle of those rows (a
-    window over the fingerprint key computes first-seen owner and
-    occurrence count in a single pass; the groupBy+self-join form
-    shuffled and recomputed the fingerprint pipeline twice, and
-    map-side combine buys nothing over mostly-unique fingerprints),
-    one groupBy doc folding duplicate windows into merged intervals,
-    one join to the input on ``id_col``. Interval merge and token
-    excision are pure higher-order expressions — zero Python in any
-    row path. ``scope_col`` (e.g. lang) joins the partition key
-    directly (exact isolation — a salt hash could collide scopes), so
-    dedup never crosses scopes; use short low-cardinality scope keys.
+    ~corpus tokens / ``winnow``. Owner detection is groupBy (map-side
+    combine collapses hot boilerplate fingerprints to one row per map
+    partition BEFORE the exchange — the skew protection; a window over
+    the fingerprint key would buffer+sort a 10^8-occurrence header
+    fingerprint in one task) + a streaming join back of the small
+    repeated-only owners table; then one groupBy doc folding duplicate
+    windows into merged intervals, one join to the input on
+    ``id_col``. Interval merge and token excision are pure
+    higher-order expressions — zero Python in any row path.
+    ``scope_col`` (e.g. lang) joins the partition key directly (exact
+    isolation — a salt hash could collide scopes), so dedup never
+    crosses scopes; use short low-cardinality scope keys.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k})")
@@ -707,12 +710,19 @@ def substring_dedup(
             "ELSE sequence(0, size(_hs) - 1) END"
         )
     else:
+        # the last window start is always selected (tail guard): with
+        # tied fingerprints in a run (self-repeating content, period <
+        # winnow) leftmost-min never selects past size-winnow, and for
+        # a doc barely longer than k the ONLY start clear of the kept
+        # first occurrence (start >= k) can sit in that unselected
+        # tail — 'na'*100 @ k=50, winnow=4 previously removed nothing
         sel_sql = (
             f"CASE WHEN size(_hs) = 0 THEN cast(array() as array<int>) "
-            f"ELSE array_distinct(transform("
+            f"ELSE array_distinct(concat(transform("
             f"sequence(0, greatest(size(_hs) - {winnow}, 0)), "
             f"p -> cast(p + array_position(slice(_hs, p + 1, {winnow}), "
-            f"array_min(slice(_hs, p + 1, {winnow}))) - 1 AS int))) END"
+            f"array_min(slice(_hs, p + 1, {winnow}))) - 1 AS int)), "
+            f"array(cast(size(_hs) - 1 AS int)))) END"
         )
     base = base.withColumn("_sel", F.expr(sel_sql))
     # second fingerprint under an independent seed, for SELECTED starts
@@ -737,19 +747,32 @@ def substring_dedup(
         F.col("_w.h1").alias("_h1"),
         F.col("_w.h2").alias("_h2"),
     )
-    # first-seen owner per repeated fingerprint: min (doc, start), as
-    # window functions over the fingerprint key — ONE shuffle and ONE
-    # pass over the fingerprint rows. (The groupBy-owners + self-join
-    # form shuffles AND recomputes the explode/hash pipeline twice,
-    # and map-side combine buys nothing here: most window fingerprints
-    # are unique, so partial aggregation barely shrinks the exchange.)
-    from pyspark.sql import Window
-
-    wkey = Window.partitionBy("_scope", "_h1", "_h2")
-    dup_wins = (
-        wins.withColumn("_own", F.min(F.struct("_did", "_start")).over(wkey))
-        .withColumn("_n", F.count(F.lit(1)).over(wkey))
+    # first-seen owner per repeated fingerprint: min (doc, start) via
+    # groupBy + join back, NOT a window over the fingerprint key. The
+    # hot keys are this operator's entire point (a license header
+    # repeated 10^7-10^8 times at 10^12-token scale): WindowExec must
+    # buffer AND sort every occurrence of such a fingerprint inside one
+    # task (ExternalAppendOnlyUnsafeRowArray spill -> multi-hour
+    # straggler), while groupBy's partial aggregation collapses a hot
+    # key to ONE row per map partition before the exchange, and the
+    # join back streams — skew-free on both sides. Cost: the owners
+    # table is a second (partial-agg-shrunk) shuffle and the probe side
+    # re-evaluates the narrow explode/hash pipeline once more; both are
+    # linear and parallel, unlike the window's single-task hot group.
+    keys = ["_scope", "_h1", "_h2"]
+    owners = (
+        wins.groupBy(*keys)
+        .agg(
+            F.min(F.struct("_did", "_start")).alias("_own"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        # only repeated fingerprints survive — typically a small
+        # fraction of all windows, so AQE often broadcasts this side
         .filter(F.col("_n") > 1)
+        .select(*keys, "_own")
+    )
+    dup_wins = (
+        wins.join(owners, keys)
         # excise every occurrence EXCEPT windows overlapping the kept
         # first occurrence in the owner doc itself (within the owner
         # doc _start > _own._start always, so >= start+k is exactly

@@ -119,6 +119,13 @@ def run_linkage(
     # cached partitions at batch end via out["_persisted"] — otherwise
     # a long-running stream accumulates every past batch's cache
     persisted: list[DataFrame] = []
+    # localCheckpoint handles (CC's final round) are tracked SEPARATELY:
+    # releasing a checkpoint deletes its only copy (lineage truncated),
+    # so a caller that releases and then re-runs an action on a derived
+    # frame crashes instead of recomputing. _persisted keeps the old
+    # recompute-safe contract; _checkpoints is release-after-durable-
+    # commit ONLY.
+    checkpoints: list = []
 
     def _persist(df: DataFrame) -> DataFrame:
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -295,12 +302,12 @@ def run_linkage(
         max_iter=cfg.cc_max_iter,
         checkpoint=checkpoint,
         check_every=cfg.cc_check_every,
-        # CC's final localCheckpoint joins _persisted so loop-style
-        # callers release it per batch; NOTE this makes the documented
-        # contract strict — materialize/commit every output BEFORE
-        # unpersisting _persisted (a released localCheckpoint cannot
-        # recompute; incremental_link_batch already commits first)
-        release_into=persisted,
+        # CC's final localCheckpoint goes into _checkpoints (NOT
+        # _persisted) so loop-style callers release it per batch
+        # without changing _persisted's recompute-safe contract —
+        # out['clusters']/out['edges'] derive from this checkpoint and
+        # become unusable once it is released
+        release_into=checkpoints,
     )
     # connected_components emits (file_id, cluster_id); align its node
     # column with cfg.id_col so custom id columns join correctly
@@ -341,8 +348,15 @@ def run_linkage(
         # pairs between byte-identical files never enter the pair table
         "file2rep": file2rep,
         # cached inputs of THIS run; callers that loop (streaming) must
-        # unpersist these once the run's outputs are materialized
+        # unpersist these once the run's outputs are materialized —
+        # recompute-safe: a later action on a returned frame is merely
+        # slow, never wrong
         "_persisted": persisted,
+        # localCheckpoint handles (CC final round): release ONLY after
+        # every derived output (clusters/edges) is durably committed —
+        # a released checkpoint CANNOT recompute and further actions
+        # on frames derived from it fail
+        "_checkpoints": checkpoints,
     }
 
 

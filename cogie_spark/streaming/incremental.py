@@ -334,7 +334,10 @@ def incremental_link_batch(
         intra_out = run_linkage(
             unassigned, LinkageConfig(threshold=threshold, num_perm=num_perm, bands=bands)
         )
+        # _checkpoints too: released only at batch end, AFTER the delta
+        # parquet write durably commits everything derived from them
         to_unpersist.extend(intra_out.get("_persisted", []))
+        to_unpersist.extend(intra_out.get("_checkpoints", []))
         intra = intra_out["clusters"]
 
         assignments = links.unionByName(intra)

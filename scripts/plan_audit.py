@@ -101,7 +101,7 @@ def flagship_stage_plans(spark) -> dict[str, str]:
     plans = {}
     for stage in ("pairs", "scored", "clusters"):
         plans[f"flagship:{stage}"] = explain_formatted(out[stage])
-    for df in out.get("_persisted", []):
+    for df in out.get("_persisted", []) + out.get("_checkpoints", []):
         df.unpersist()
     return plans
 

@@ -150,6 +150,6 @@ def test_cascade_sig_bits_clusters_identical(spark):
         got[bits] = {
             (r["file_id"], r["cluster_id"]) for r in out["clusters"].collect()
         }
-        for df in out["_persisted"]:
+        for df in out["_persisted"] + out.get("_checkpoints", []):
             df.unpersist()
     assert got[8] == got[64]
