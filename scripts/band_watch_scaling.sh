@@ -29,11 +29,12 @@ band_healthy() {
   python -c "import sys; sys.exit(0 if float('$BW')>=1.5 and float('$LOAD')<4 else 1)"
 }
 
-run_pair() {  # $1 = n_groups, $2 = out json; returns 0 iff band_ok
-  local groups=$1 out=$2
-  echo "band healthy - taking lock and firing scaling pair at ${groups} groups"
+run_pair() {  # $1 = n_groups, $2 = out json, [$3 = cores pair]; 0 iff band_ok
+  local groups=$1 out=$2 cores=${3:-8,32}
+  echo "band healthy - taking lock and firing scaling pair at ${groups} groups (${cores})"
   echo "$$ $(date +%s)" > "$LOCK"
-  COGIE_BENCH_GROUPS=$groups COGIE_BW_FLOOR_GBPS=1.0 python bench.py --scaling > "$out" 2>"${out%.json}.err"
+  COGIE_BENCH_GROUPS=$groups COGIE_BW_FLOOR_GBPS=1.0 COGIE_SCALING_CORES=$cores \
+    python bench.py --scaling > "$out" 2>"${out%.json}.err"
   local rc=$?
   rm -f "$LOCK"   # promptly; the EXIT trap is the backstop
   echo "scaling(${groups}) done rc=$rc"
@@ -48,28 +49,41 @@ run_pair() {  # $1 = n_groups, $2 = out json; returns 0 iff band_ok
 # pair (both prior attempts lost to band collapse / degraded band);
 # 450k is already covered by the standing 0.573 best, so it runs
 # second, only if the window survives the 900k pair.
+POLL_SECS=${POLL_SECS:-600}
+N_POLLS=${N_POLLS:-27}
+# Session-10 sequence: (1) the missing band-clean 900k 8->32 pair;
+# (2) a band-clean 2->8 pair at 200k — the low-core regime where the
+# shared socket can still supply constant per-core DRAM bandwidth (a
+# mixed-band attempt read 0.75 but its 2-leg opened at 0.1 GB/s, which
+# INFLATES the ratio, so only a band_ok pair counts); (3) the 450k
+# 8->32 replicate if the window still holds.
 DONE_900=0
-for i in $(seq 1 27); do
+DONE_2X8=0
+for i in $(seq 1 "$N_POLLS"); do
   echo "poll $i"
   if band_healthy; then
     if [ "$DONE_900" = "0" ]; then
-      if run_pair 900000 "$OUTDIR/scaling_r5s9_900k.json"; then
+      if run_pair 900000 "$OUTDIR/scaling_r5s10_900k.json"; then
         DONE_900=1
-        # band survived the 900k pair — try a 450k replicate while
-        # the window holds
-        if band_healthy; then
-          run_pair 450000 "$OUTDIR/scaling_r5s9_450k.json" && exit 0
-          echo "450k pair band-contaminated; resuming polling for it"
-        fi
       else
         echo "900k pair was band-contaminated; resuming polling"
+        continue
       fi
-    else
-      run_pair 450000 "$OUTDIR/scaling_r5s9_450k.json" && exit 0
-      echo "450k pair band-contaminated; resuming polling"
+    fi
+    if [ "$DONE_2X8" = "0" ] && band_healthy; then
+      if run_pair 200000 "$OUTDIR/scaling_r5s10_2x8_200k.json" 2,8; then
+        DONE_2X8=1
+      else
+        echo "2x8 pair band-contaminated; resuming polling"
+        continue
+      fi
+    fi
+    if [ "$DONE_900" = "1" ] && [ "$DONE_2X8" = "1" ] && band_healthy; then
+      run_pair 450000 "$OUTDIR/scaling_r5s10_450k.json" && exit 0
+      echo "450k pair band-contaminated; resuming polling for it"
     fi
   fi
-  sleep 600
+  sleep "$POLL_SECS"
 done
 echo "no healthy window found"
 exit 3
