@@ -22,11 +22,12 @@ if [ -e "$LOCK" ]; then
   exit 4
 fi
 
-band_healthy() {
+band_healthy() {  # $1 = bw floor (default 1.5)
+  local floor=${1:-1.5}
   BW=$(python scripts/membw_probe.py --quick 2>/dev/null | tail -1 | python -c "import sys,json;print(json.load(sys.stdin)['mem_gbps@1'])")
   LOAD=$(cut -d' ' -f1 /proc/loadavg)
-  echo "probe: bw=${BW} load=${LOAD} $(date +%H:%M:%S)"
-  python -c "import sys; sys.exit(0 if float('$BW')>=1.5 and float('$LOAD')<4 else 1)"
+  echo "probe: bw=${BW} load=${LOAD} floor=${floor} $(date +%H:%M:%S)"
+  python -c "import sys; sys.exit(0 if float('$BW')>=float('$floor') and float('$LOAD')<4 else 1)"
 }
 
 run_pair() {  # $1 = n_groups, $2 = out json, [$3 = cores pair]; 0 iff band_ok
@@ -57,12 +58,20 @@ N_POLLS=${N_POLLS:-27}
 # mixed-band attempt read 0.75 but its 2-leg opened at 0.1 GB/s, which
 # INFLATES the ratio, so only a band_ok pair counts); (3) the 450k
 # 8->32 replicate if the window still holds.
+# Two-tier windows (session-10: today's windows last minutes, not
+# hours): a STRONG band (>= 3 GB/s) is worth spending on the ~30-min
+# 900k 8->32 pair; a MARGINAL band (>= 1.5) fires the shorter 2->8
+# pair at 200k, whose low-core legs also tolerate band wobble better
+# (and whose failure mode — narrow-leg deflation — only deflates the
+# ratio when the band sags mid-8-leg, never inflates a clean pair).
 DONE_900=0
 DONE_2X8=0
 for i in $(seq 1 "$N_POLLS"); do
   echo "poll $i"
-  if band_healthy; then
-    if [ "$DONE_900" = "0" ]; then
+  if band_healthy 1.5; then
+    strong=1
+    python -c "import sys; sys.exit(0 if float('$BW')>=3.0 else 1)" || strong=0
+    if [ "$DONE_900" = "0" ] && [ "$strong" = "1" ]; then
       if run_pair 900000 "$OUTDIR/scaling_r5s10_900k.json"; then
         DONE_900=1
       else
@@ -70,7 +79,7 @@ for i in $(seq 1 "$N_POLLS"); do
         continue
       fi
     fi
-    if [ "$DONE_2X8" = "0" ] && band_healthy; then
+    if [ "$DONE_2X8" = "0" ] && band_healthy 1.5; then
       if run_pair 200000 "$OUTDIR/scaling_r5s10_2x8_200k.json" 2,8; then
         DONE_2X8=1
       else
@@ -78,10 +87,11 @@ for i in $(seq 1 "$N_POLLS"); do
         continue
       fi
     fi
-    if [ "$DONE_900" = "1" ] && [ "$DONE_2X8" = "1" ] && band_healthy; then
+    if [ "$DONE_900" = "1" ] && [ "$DONE_2X8" = "1" ] && band_healthy 1.5; then
       run_pair 450000 "$OUTDIR/scaling_r5s10_450k.json" && exit 0
       echo "450k pair band-contaminated; resuming polling for it"
     fi
+    [ "$DONE_2X8" = "1" ] && [ "$DONE_900" = "0" ] && echo "2x8 done; waiting for a strong (>=3) window for 900k"
   fi
   sleep "$POLL_SECS"
 done
