@@ -40,13 +40,40 @@ SCALING_EVIDENCE = {
         "efficiency_8_to_32": 0.573,
         "outputs_identical_across_legs": True,
     },
-    "efficiency_by_input_size": {"50k": 0.22, "200k": 0.41, "450k": 0.573},
+    "efficiency_by_input_size": {
+        "50k": 0.22,
+        "200k": 0.41,
+        "450k": 0.573,
+        "900k": 0.571,
+    },
+    # 8->32 efficiency PLATEAUS at ~0.57 from 450k groups on: the
+    # compute share saturates while the socket keeps dividing one DRAM
+    # bus across 4x the cores. The low-core pair (2->8) demands 4x
+    # less aggregate bandwidth — per-core bandwidth stays roughly
+    # constant across its legs, which is what a real cluster provides
+    # per executor — and there the SAME binary/plan/input measures
+    # 0.50-0.76 (four band-clean pairs @ 200k groups; best 0.755,
+    # median 0.68; outputs identical across every leg).
+    "low_core_regime": {
+        "cores": "2->8",
+        "groups": 200_000,
+        "band_clean_pairs": [0.692, 0.504, 0.669, 0.755],
+        "best": 0.755,
+        "median": 0.68,
+    },
+    "pair_900k_8_to_32": {
+        "groups": 900_000,
+        "pairs_scored": 3_346_894,
+        "pairs_per_sec_8": 3890.9,
+        "pairs_per_sec_32": 8888.8,
+        "efficiency_8_to_32": 0.571,
+    },
     "host_ceiling": "shared-socket DRAM: membw probe shows aggregate "
                     "bandwidth FALLS 16.5->9.9 GB/s going 8->32 pinned "
                     "workers; cache-resident compute scales 2.9-3.2x. "
                     "A real 4N-executor cluster adds bandwidth with "
                     "cores instead of dividing it.",
-    "see": "BASELINE.md round-5 session-3",
+    "see": "BASELINE.md round-5 sessions 3, 10, 11",
 }
 
 
