@@ -61,6 +61,16 @@ def clean_corpus(docs: DataFrame, cfg: CorpusConfig | None = None) -> dict:
     cfg = cfg or CorpusConfig()
     t = cfg.text_col
 
+    tagged = _tag(docs, cfg)
+    return {"tagged": tagged, "kept": kept_from_docs(docs, cfg)}
+
+
+def _tag(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """The shared tagging chain (narrow projections only): quality +
+    repetition features, PII counts (+ redacted text), language ID and
+    the composite ``keep`` flag. Both views derive from this one
+    definition so audit and training can never disagree on a gate."""
+    t = cfg.text_col
     tagged = quality_features(docs, text_col=t)
     tagged = repetition_features(tagged, text_col=t, top_ngram_ns=(2,), dup_ngram_ns=())
     tagged = pii_counts(tagged, text_col=t)
@@ -75,9 +85,68 @@ def clean_corpus(docs: DataFrame, cfg: CorpusConfig | None = None) -> dict:
     )
     if cfg.langs:
         keep = keep & F.col("lang_pred").isin(*cfg.langs)
-    tagged = tagged.withColumn("keep", keep)
+    return tagged.withColumn("keep", keep)
 
-    return {"tagged": tagged, "kept": kept_view(tagged, cfg)}
+
+def kept_from_docs(
+    docs: DataFrame, cfg: CorpusConfig | None = None, hash_col: str | None = None
+) -> DataFrame:
+    """Training view built DEDUP-FIRST from the raw corpus: one explicit
+    sha-keyed exchange, window-min dedup, then the tag chain and gates
+    evaluated POST-shuffle on the surviving distinct documents.
+
+    Why this shape (optimization guide §2.4/§2.5): the tag chain is
+    regex-heavy per row, so where it evaluates decides the stage's
+    parallelism. Building ``kept`` on top of the tagged lineage puts the
+    feature projections and the pushed-down ``keep`` filter BELOW the
+    dedup exchange — i.e. inside the input's scan stage, whose width is
+    the file/row-group count (1-2 tasks on single-row-group parquet),
+    with AQE free to coalesce the post-shuffle side to 1-2 tasks as
+    well because the BYTES are small. Here instead:
+
+    - the one exchange is an explicit ``repartition(N, sha(text))`` with
+      N = max(defaultParallelism, spark.sql.shuffle.partitions) — AQE
+      honors user-specified repartitions, so the post-shuffle stage is
+      always cluster-wide regardless of byte volume;
+    - the window-min dedup requires exactly that hash partitioning, so
+      it reuses the exchange (plan stays at ONE exchange, one scan);
+    - every regex gate + the redaction run AFTER the min-id filter —
+      once per DISTINCT surviving document instead of once per
+      duplicate, and across N tasks.
+
+    Equivalent to ``kept_view(_tag(docs))`` row-for-row: rows of a sha
+    group carry byte-identical text, so every gate (all pure functions
+    of the text) is constant within a group — gating before or after
+    the min-id pick selects the same rows (unit-tested equivalence).
+    Trade-off: gated-out rows now cross the exchange too; for corpora
+    where the gates drop most bytes AND the input scan is already wide,
+    ``kept_view`` over the tagged lineage remains the shuffle-lighter
+    form.
+    """
+    cfg = cfg or CorpusConfig()
+    t = cfg.text_col
+    spark = docs.sparkSession
+    n_part = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "1")),
+    )
+    sha = F.sha2(F.col(t), 256)
+
+    from pyspark.sql import Window
+
+    deduped = (
+        docs.repartition(n_part, sha)
+        .withColumn("_min_id", F.min(cfg.id_col).over(Window.partitionBy(sha)))
+        .filter(F.col(cfg.id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    tagged = _tag(deduped, cfg)
+    kept = tagged.filter("keep")
+    if hash_col:
+        kept = kept.withColumn(hash_col, F.sha2(F.col(t), 256))
+    if cfg.redact:
+        kept = kept.withColumn(t, F.col("_text_redacted")).drop("_text_redacted")
+    return kept
 
 
 def kept_view(

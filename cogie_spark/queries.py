@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from cogie_spark.functions.hashing import MINHASH_P, _perm_coeffs, base_hash28, h64, simhash64
 from cogie_spark.functions.text import char_shingles, tokens
+from cogie_spark.io.spread import spread_scan, spread_table
 from cogie_spark.operators.ann import brute_force_topk
 from cogie_spark.operators.dedup import (
     embedding_near_duplicates,
@@ -39,7 +40,12 @@ from cogie_spark.operators.vocab import build_vocab
 # ------------------------------------------------------------------ helpers
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # byte-proportional scan spread: the sandbox tables ship 1-6 parquet
+    # row groups, so fact-table scans otherwise collapse to 1-6 tasks
+    # (io/spread.py; no-op for real multi-row-group tables and for the
+    # small dim tables that feed broadcast builds)
+    path = f"{sf_dir}/{name}.parquet"
+    return spread_table(spark.read.parquet(path), path)
 
 
 # DuckDB-side text helpers (must mirror functions/text.py exactly)
@@ -366,7 +372,7 @@ def q10(spark, sf_dir):
     """A1 word count + A2 top-k by frequency (vocabulary.py:115-124,152)
     + P6 min-freq HAVING + W7 dense index (vocabulary.py:144-165): the
     vocabulary dim table, top-50 by frequency."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_scan(_t(spark, sf_dir, "documents"))
     return (
         build_vocab(d, "text", min_freq=20, n_special=2)
         .orderBy(F.desc("count"), F.asc("word"))
@@ -654,7 +660,10 @@ ORACLES["q26_text_stats"] = f"""
 def _docs_with_clones(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     clones = d.filter("doc_id < 50").withColumn("doc_id", F.col("doc_id") + 100000)
-    return d.unionByName(clones)
+    # the dedup family's shingle/MinHash aggregation fuses into this
+    # scan stage — spread it to the core count (the documents table is
+    # one row group per file in the sandbox, so the scan is 1-2 tasks)
+    return spread_scan(d.unionByName(clones))
 
 
 _CLONES_SQL = "(SELECT * FROM documents UNION ALL SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id < 50)"
@@ -817,7 +826,9 @@ def q24(spark, sf_dir):
     flat-IP indexer restated as broadcast crossJoin + window top-k)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter("vec_id < 3").select(F.col("vec_id").alias("probe_id"), "embedding")
-    return brute_force_topk(emb, probes, k=5)
+    # the |corpus| x |probes| cosine work fuses into the corpus scan
+    # stage — spread it (the probe side stays a tiny broadcast build)
+    return brute_force_topk(spread_scan(emb), probes, k=5)
 
 
 @q(

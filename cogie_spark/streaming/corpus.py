@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from cogie_spark.io import fsio
 from cogie_spark.io.tableio import TableIO
-from cogie_spark.plans.corpus import CorpusConfig, clean_corpus, kept_view
+from cogie_spark.plans.corpus import CorpusConfig, kept_from_docs
 
 _MANIFEST = "corpus_manifest.json"
 _HASH = "sha256"
@@ -158,7 +158,11 @@ def incremental_clean_batch(
             # same schema as the fresh-commit return below
             return state.read(entry["kept"]).drop(_HASH, "src_batch")
 
-    kept = kept_view(clean_corpus(batch, cfg)["tagged"], cfg, hash_col=_HASH)
+    # dedup-first kept builder: same rows as kept_view over the tagged
+    # lineage (unit-tested equivalence), but the regex gates evaluate
+    # post-shuffle across the cluster instead of inside the batch's
+    # (often narrow) scan stage — plans/corpus.kept_from_docs
+    kept = kept_from_docs(batch, cfg, hash_col=_HASH)
 
     hash_names = _hash_paths(manifest)
     if hash_names:

@@ -74,6 +74,35 @@ def test_clean_corpus_single_scan_plan(spark, tmp_path):
     assert out["kept"].select("doc_id").count() == 2
 
 
+def test_kept_from_docs_equivalent_and_post_shuffle(spark, tmp_path):
+    """The dedup-first kept builder (r6 optimization) is row-identical
+    to kept_view over the tagged lineage, and its regex tagging sits
+    ABOVE the one exchange (post-shuffle, cluster-wide) instead of
+    being filter-pushed into the scan stage."""
+    from cogie_spark.plans.corpus import _tag, kept_from_docs, kept_view
+
+    path = str(tmp_path / "docs_eq")
+    _corpus(spark).write.parquet(path)
+    docs = spark.read.parquet(path)
+    cfg = CorpusConfig()
+
+    old = kept_view(_tag(docs, cfg), cfg, hash_col="_h")
+    new = kept_from_docs(docs, cfg, hash_col="_h")
+    assert old.columns == new.columns
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+    # plan shape: the regexp projections must be between the Window and
+    # the collect — i.e. the segment BELOW the Exchange carries no
+    # regexp work (only the scan and the hash partitioning)
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "final plan\n== Initial Plan ==\n..." — assert on the
+    # final-plan section only
+    plan = plan.split("== Initial Plan ==")[0]
+    below_exchange = plan[plan.index("Exchange"):]
+    assert "regexp_replace" not in below_exchange, below_exchange[:2000]
+    assert "regexp_replace" in plan[: plan.index("Exchange")], plan[:2000]
+
+
 def test_clean_corpus_lang_gate(spark):
     df = spark.createDataFrame(
         [(1, GOOD), (2, "el equipo de la infraestructura no puede aprobar la "
