@@ -98,12 +98,66 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _components_single_task(cur: DataFrame) -> DataFrame:
+    """Union-find over the whole (bounded) edge set in ONE task — the
+    small-graph fast path of :func:`connected_components`.
+
+    Spark's broadcast-join logic already encodes the principle: when a
+    relation fits one executor's memory, stop distributing it. A
+    match-edge graph is tiny relative to its corpus (near-dup graphs
+    especially), yet every large-star/small-star round costs ~6 shuffle
+    stages plus a driver round-trip — at bench scale the rounds are
+    pure fixed overhead. Below the caller's edge threshold we coalesce
+    the materialized edge set to one partition and run path-compressed
+    union-find inside a single mapInPandas task: one job, no driver
+    collect, byte-identical output (every node of every edge mapped to
+    its component minimum — the same rows the star fixed-point emits,
+    unit-tested equivalence).
+    """
+    import pandas as pd
+
+    t = dict(cur.dtypes).get("src", "string")
+    schema = f"file_id {t}, cluster_id {t}"
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union by MIN: the smaller id becomes the root, so
+                    # roots are already the component minima at the end
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"file_id": nodes, "cluster_id": [find(v) for v in nodes]}
+        )
+
+    return cur.coalesce(1).mapInPandas(uf, schema=schema)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     checkpoint=None,
     check_every: int = 1,
     release_into: list | None = None,
+    local_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Edge list (left_id, right_id) -> (file_id, cluster_id).
 
@@ -156,6 +210,27 @@ def connected_components(
 
         with job_desc(cur, "cogie:cc-seed"):
             cur = cur.localCheckpoint(eager=True)
+
+    # small-graph fast path (one job instead of ~6 shuffle stages and a
+    # driver sync PER star round): the seed checkpoint above already
+    # materialized the deduped edge set, so its count is a cheap cached
+    # scan; below ``local_max_edges`` solve the components in a single
+    # union-find task (_components_single_task). The threshold bounds
+    # one task's memory the same way the broadcast-join threshold
+    # bounds a build side (~2M edges ≈ low hundreds of MB of python
+    # dicts for 64-char ids); past it, the iterative star rounds run
+    # unchanged — that is the 100 TB path. Only when not resuming from
+    # a CheckpointManager: the committed-iteration resume contract
+    # belongs to the iterative path.
+    if checkpoint is None and local_max_edges:
+        from cogie_spark.jobdesc import job_desc as _jd
+
+        with _jd(cur, "cogie:cc-local-count"):
+            n_edges = cur.count()
+        if n_edges <= local_max_edges:
+            if release_into is not None:
+                release_into.append(_CheckpointHandle(cur))
+            return _components_single_task(cur)
 
     # `owned` is the live localCheckpoint backing `cur` (None when cur
     # is parquet-backed: resumed, or after a CheckpointManager commit).

@@ -30,11 +30,19 @@ from cogie_spark.functions.text import normalize_text, tokens
 
 
 def corpus_idf(
-    files: DataFrame, content_col: str = "content", max_terms: int = 100_000
+    files: DataFrame,
+    content_col: str = "content",
+    max_terms: int = 100_000,
+    n_docs: int | None = None,
 ) -> dict[str, float]:
     """token -> log(N/df) over the corpus, capped at the ``max_terms``
     most-frequent terms (the cap bounds the broadcast at 10^12-file
     scale; tokens outside the cap default to weight 1.0 inside the UDF).
+
+    ``n_docs``: pass the corpus row count when the caller already knows
+    it (run_linkage recovers it from the blocking size-precheck
+    aggregate) — skips this function's own count() job, leaving ONE
+    action (the bounded vocab collect).
 
     This is the deterministic stand-in for the reference's precomputed
     candidate encodings (/root/reference/cogie/models/el/biencoder.py:
@@ -44,8 +52,10 @@ def corpus_idf(
 
     from cogie_spark.jobdesc import job_desc
 
-    with job_desc(files, "cogie:idf-ndocs"):
-        n_docs = files.count() or 1
+    if n_docs is None:
+        with job_desc(files, "cogie:idf-ndocs"):
+            n_docs = files.count()
+    n_docs = n_docs or 1
     # IDF is a corpus statistic — estimate it from a deterministic hash
     # sample once the corpus is large (identical idf distribution, ~10x
     # less explode/sort work and a bounded driver collect)

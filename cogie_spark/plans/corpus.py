@@ -230,12 +230,14 @@ def near_dup_prune(
     cluster table, broadcastable whenever dup groups fit the threshold.
     """
     cfg = cfg or CorpusConfig()
+    dedup_caches: list[DataFrame] = []
     if pairs is None:
         if method == "minhash":
             from cogie_spark.operators.dedup import minhash_near_duplicates
 
             pairs = minhash_near_duplicates(
-                kept, id_col=cfg.id_col, text_col=cfg.text_col, **dedup_kwargs
+                kept, id_col=cfg.id_col, text_col=cfg.text_col,
+                release_into=dedup_caches, **dedup_kwargs
             )
         elif method == "semantic":
             from cogie_spark.operators.dedup import semantic_duplicates
@@ -249,6 +251,12 @@ def near_dup_prune(
     groups = connected_components(
         pairs.select("left_id", "right_id"), max_iter=cc_max_iter
     )
+    # CC eagerly materialized its deduped edge seed (localCheckpoint),
+    # truncating `groups`' lineage past the pair table — the signature/
+    # pair/block caches of this call release NOW instead of living for
+    # the session (VERDICT r5 #4; recompute-safe either way)
+    for c in dedup_caches:
+        c.unpersist()
     members = groups.select(
         F.col("file_id").alias(cfg.id_col), F.col("cluster_id").alias("dup_group_id")
     )

@@ -84,6 +84,11 @@ class LinkageConfig:
     # 1 = fingerprint every round; >1 trades possible extra idempotent
     # rounds for fewer driver aggregation round-trips after round 3
     cc_check_every: int = 1
+    # CC small-graph fast path (operators/cc.py): at or below this many
+    # distinct edges the components are solved by union-find in ONE
+    # task (one job) instead of iterated star rounds — the broadcast-
+    # threshold principle applied to the match graph. 0 disables.
+    cc_local_max_edges: int = 2_000_000
     weights: tuple[float, float, float] = (0.2, 0.5, 0.3)
     # cap on the IDF broadcast vocabulary (corpus_idf); 0 disables the
     # tf-idf scorer's corpus weighting (plain TF cosine)
@@ -192,9 +197,36 @@ def run_linkage(
         bands=cfg.bands,
         rows_per_band=cfg.num_perm // cfg.bands,
     )
+    # IDF branch overlap (guide §2.6): corpus_idf only needs the reps
+    # cache and its dict is not consumed until the scorer stage RUNS, so
+    # its two bounded actions (count + vocab top-k collect) run in a
+    # driver thread CONCURRENTLY with the blocking size-precheck's
+    # signature computation — the scheduler back-fills the precheck's
+    # small stages and gaps with the idf jobs instead of serializing
+    # ~2 s of wall after them. Joined (with exception propagation)
+    # right before the scorer is built. Concurrent first-materialization
+    # of the shared reps cache is safe: worst case both threads compute
+    # a partition and one cache write wins.
+    idf_future = None
+    if cfg.idf_max_terms:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from cogie_spark.operators.scoring import corpus_idf as _cidf
+
+        _idf_pool = ThreadPoolExecutor(max_workers=1)
+        idf_future = _idf_pool.submit(
+            _cidf, files, content_col=cfg.content_col, max_terms=cfg.idf_max_terms
+        )
+        _idf_pool.shutdown(wait=False)
+
+    # blocking_stats rides on the mandatory size-precheck job: the max
+    # block size (salting decision) and the dropped-block count
+    # (logged — no-silent-caps)
+    blocking_stats: dict = {}
     pairs, dropped = candidate_pairs(
         blocks, id_col=cfg.id_col, key_cols=cfg.key_cols,
         max_block_size=cfg.max_block_size, release_into=persisted,
+        stats_into=blocking_stats,
     )
 
     # cascade + feature attach, FUSED: the pair table is the biggest
@@ -257,38 +289,28 @@ def run_linkage(
         # reference the pair table — never recompute the self-join
         pairs = _persist(pairs)
 
-    from cogie_spark.operators.scoring import corpus_idf, score_features
+    from cogie_spark.operators.scoring import score_features
 
     idf = None
-    if cfg.idf_max_terms:
+    if idf_future is not None:
         # proper Broadcast: fetched once per executor instead of being
-        # re-shipped inside every stage's task binary
-        idf = files.sparkSession.sparkContext.broadcast(
-            corpus_idf(files, content_col=cfg.content_col, max_terms=cfg.idf_max_terms)
-        )
-    # pre-scorer spread decision, made HERE (not inside score_features,
-    # which never probes the plan — see its docstring): the pair table
-    # at this point is persisted or checkpoint-committed, so probing its
-    # partition count is attributable to this pipeline and any adaptive
-    # stages it finalizes feed the cache the downstream stages (scoring,
-    # CC seed, caller actions) all read anyway. Skip the scorer-side
-    # repartition — a shuffle of the pipeline's biggest relation —
-    # whenever the upstream join already feeds every core (A/B-measured
-    # net win at bench scale; AQE can coalesce small-BYTES shuffles to
-    # 1-2 partitions, which would serialize the CPU-bound UDF stage).
-    from cogie_spark.jobdesc import job_desc
-
-    cores = files.sparkSession.sparkContext.defaultParallelism
-    with job_desc(pairs, "cogie:pairs-partition-probe"):
-        n_have = pairs.rdd.getNumPartitions()
-    scorer_partitions = 0 if n_have >= max(cores, 8) else max(cores * 2, 8)
+        # re-shipped inside every stage's task binary. .result() joins
+        # the overlapped idf thread and re-raises any failure here.
+        idf = files.sparkSession.sparkContext.broadcast(idf_future.result())
+    # score in place (partitions=0): the pair table reaches here through
+    # the cascade/feature joins, whose post-shuffle width AQE sizes with
+    # parallelismFirst (>= min(cores, bytes/minPartitionSize)); the
+    # r5-era pairs.rdd partition probe confirmed ">= cores" every run
+    # while costing one full extra action's worth of jobs + planning.
+    # Callers with pathologically narrow pair tables keep the public
+    # score_features(partitions=None) repartition default.
     scored = score_features(
         pairs,
         jw_chars=cfg.jw_chars,
         ts_chars=cfg.ts_chars,
         weights=cfg.weights,
         idf=idf,
-        partitions=scorer_partitions,
+        partitions=0,
     )
     if checkpoint is not None:
         scored = checkpoint.commit("scored", scored)
@@ -302,6 +324,7 @@ def run_linkage(
         max_iter=cfg.cc_max_iter,
         checkpoint=checkpoint,
         check_every=cfg.cc_check_every,
+        local_max_edges=cfg.cc_local_max_edges,
         # CC's final localCheckpoint goes into _checkpoints (NOT
         # _persisted) so loop-style callers release it per batch
         # without changing _persisted's recompute-safe contract —

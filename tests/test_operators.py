@@ -545,14 +545,54 @@ def test_cc_check_every_identical_clusters(spark):
     ] + [(ids[51 + 3 * j], ids[52 + 3 * j]) for j in range(4)]
     df = spark.createDataFrame(edges, "left_id string, right_id string")
 
-    base = {tuple(r) for r in connected_components(df).collect()}
-    cadenced = {tuple(r) for r in connected_components(df, check_every=2).collect()}
+    # local_max_edges=0 pins the ITERATIVE star path on both sides —
+    # this test is about the fingerprint cadence, not the fast path
+    base = {tuple(r) for r in connected_components(df, local_max_edges=0).collect()}
+    cadenced = {
+        tuple(r)
+        for r in connected_components(df, check_every=2, local_max_edges=0).collect()
+    }
     assert base == cadenced
     # one 50-node path component + four 3-node components
     from collections import Counter
 
     sizes = Counter(c for _, c in base)
     assert sorted(sizes.values()) == [3, 3, 3, 3, 50]
+
+
+def test_cc_local_fast_path_equivalent(spark):
+    """The single-task union-find fast path (r6 optimization) must be
+    row-identical to the iterative star rounds — same nodes, same
+    min-id cluster labels — on a graph mixing a long path (worst case
+    for star round count), triangles, and two-node components."""
+    import random
+
+    from cogie_spark.operators.cc import connected_components
+
+    rng = random.Random(7)
+    ids = [f"n{i:04d}" for i in range(400)]
+    edges = [(ids[i], ids[i + 1]) for i in range(149)]        # long path
+    edges += [(ids[150 + 3 * j], ids[151 + 3 * j]) for j in range(40)]
+    edges += [(ids[151 + 3 * j], ids[152 + 3 * j]) for j in range(40)]
+    edges += [(ids[300 + 2 * j], ids[301 + 2 * j]) for j in range(50)]
+    rng.shuffle(edges)
+    # duplicate + reversed edges exercise the distinct/orient seed
+    edges += [(b, a) for a, b in edges[:30]]
+    df = spark.createDataFrame(edges, "left_id string, right_id string")
+
+    fast = {tuple(r) for r in connected_components(df).collect()}
+    star = {tuple(r) for r in connected_components(df, local_max_edges=0).collect()}
+    assert fast == star
+    # long-ids (the near_dup_prune shape) keep their type through the
+    # fast path's mapInPandas schema
+    dfl = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "left_id long, right_id long"
+    )
+    got = connected_components(dfl)
+    assert dict(got.dtypes) == {"file_id": "bigint", "cluster_id": "bigint"}
+    assert {tuple(r) for r in got.collect()} == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10)
+    }
 
 
 def test_cc_midloop_failure_releases_checkpoints(spark, monkeypatch):
@@ -584,7 +624,9 @@ def test_cc_midloop_failure_releases_checkpoints(spark, monkeypatch):
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="injected"):
-        cc_mod.connected_components(df, release_into=released)
+        # iterative path pinned: the failure being injected lives in the
+        # star loop's fingerprint, which the fast path never runs
+        cc_mod.connected_components(df, release_into=released, local_max_edges=0)
     assert released == [], "no handle may escape a failed call"
     assert jsc.getPersistentRDDs().size() == before, (
         "mid-loop failure stranded localCheckpoint RDDs"
