@@ -272,12 +272,16 @@ def ngram_jaccard_pairs(
         # below, so candidate_pairs' internal caches are releasable
         # before returning (no lazy consumer outlives this call)
         cp_caches: list[DataFrame] = []
+        cp_stats: dict = {}
         pairs, dropped = candidate_pairs(
             blocks, id_col="_id", key_cols=key_cols,
             max_block_size=max_block_size, release_into=cp_caches,
+            stats_into=cp_stats,
         )
         verified = _verify(pairs.select("left_id", "right_id")).localCheckpoint(eager=True)
-        n_dropped = dropped.count()
+        # drop count comes free from the precheck aggregate — the old
+        # dropped.count() was one extra job per call for the same number
+        n_dropped = cp_stats.get("n_dropped_blocks", 0)
         if n_dropped:
             import logging
 

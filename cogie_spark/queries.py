@@ -39,13 +39,17 @@ from cogie_spark.operators.vocab import build_vocab
 
 # ------------------------------------------------------------------ helpers
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # byte-proportional scan spread: the sandbox tables ship 1-6 parquet
-    # row groups, so fact-table scans otherwise collapse to 1-6 tasks
-    # (io/spread.py; no-op for real multi-row-group tables and for the
-    # small dim tables that feed broadcast builds)
+def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+    # spread=True: byte-proportional scan spread (io/spread.py) for
+    # queries whose SCAN STAGE carries the compute (partial aggregation,
+    # broadcast-join probe, narrow heavy projections) — the sandbox
+    # tables ship 1-6 parquet row groups, so those stages otherwise run
+    # on 1-6 tasks. Deliberately NOT applied to scans feeding a shuffle
+    # join (q08): the join exchange re-partitions anyway, so a spread
+    # there is one extra full shuffle for nothing (A/B-measured loss).
     path = f"{sf_dir}/{name}.parquet"
-    return spread_table(spark.read.parquet(path), path)
+    df = spark.read.parquet(path)
+    return spread_table(df, path) if spread else df
 
 
 # DuckDB-side text helpers (must mirror functions/text.py exactly)
@@ -115,7 +119,7 @@ def _money_sum(col: str, alias: str):
 def q01(spark, sf_dir):
     """TPC-H Q1 shape: filtered grouped aggregation (A1/A11; pushdown-
     friendly filter reaches the parquet scan)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=True)
     return (
         li.filter(F.col("l_quantity") < 50)
         .groupBy("l_returnflag", "l_linestatus")
@@ -207,7 +211,7 @@ def q14(spark, sf_dir):
 def q04(spark, sf_dir):
     """J1 dict-lookup enrichment as broadcast hash joins
     (el_toolkit.py:131-143)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", spread=True)
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     return (
