@@ -2,38 +2,34 @@
 §6 input split size).
 
 Parquet splits are byte ranges, but a task only produces rows for the
-row groups whose midpoint falls inside its range — so a table written as
-one file with one row group scans as ONE task no matter how many cores
-the cluster has, and every narrow operator fused into that scan stage
-(regex features, shingling, MinHash aggregation) runs serially. The
-sandbox testdata ships 1-6 row groups per table; a real 100 TB table has
-thousands, so this module's helpers are no-ops there by construction:
-they only insert a round-robin repartition when the OBSERVED scan
-parallelism is below the target, and the bytes moved in that case are
-bounded by (target partitions) x (max split size) per core — small by
-the same argument that makes the scan narrow in the first place.
+row groups whose midpoint falls inside its range — so a table written
+as one file with one row group scans as ONE task no matter how many
+cores the cluster has, and every narrow operator fused into that scan
+stage runs serially. The sandbox testdata ships 1-6 row groups per
+table; a real 100 TB table has thousands, so :func:`spread_scan` is a
+no-op there by construction: it only inserts a round-robin repartition
+when the OBSERVED scan parallelism is below the core count.
 
-Two policies:
+Scope discipline (A/B-measured in round 6): the spread pays ONLY where
+heavy per-row compute — regex feature extraction, shingling, MinHash
+aggregation, cosine scoring — is fused into the narrow scan stage, so
+that 30+ idle cores are worth one small shuffle. It LOSES on relational
+scans: shuffle joins re-partition both sides anyway, and cheap
+aggregation/broadcast-probe work costs less on the narrow scan than an
+extra full shuffle of the table. Callers therefore opt in explicitly
+at compute-heavy sites (the dedup family's documents input, the corpus
+tag plan, vocabulary building, ANN scoring); the relational query
+paths read plain.
 
-- :func:`spread_scan` — spread to the full core count. For inputs that
-  feed compute-heavy narrow pipelines (per-row regex/shingle/hash work
-  dominates the byte cost; used by the dedup/corpus/vocab/ANN paths).
-- :func:`spread_table` — spread proportionally to on-disk bytes
-  (one partition per ~4 MB, capped at cores). For relational scans
-  whose per-row compute is cheap: tiny dim tables stay single-partition
-  (no extra exchange in front of a broadcast build), fact tables get
-  their scan+shuffle-write stage parallelized.
-
-Both probe ``df.rdd.getNumPartitions()``, which is metadata-only (file
-listing + physical planning, no job) for the narrow scan-rooted plans
-these helpers are applied to. ``spread_scan`` refuses plans containing
-wide operators (joins/aggregations/windows), where the probe could
+The partition probe ``df.rdd.getNumPartitions()`` is metadata-only
+(file listing + physical planning, no job) for the narrow scan-rooted
+plans this helper is applied to; plans containing wide operators
+(joins/aggregations/windows) are refused, where the probe could
 trigger adaptive execution of upstream stages.
 """
 
 from __future__ import annotations
 
-import os
 import re
 
 from pyspark.sql import DataFrame
@@ -69,41 +65,6 @@ def spread_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     plans with wide operators (probe not safe there)."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if target <= 1 or not _narrow_plan(df):
-        return df
-    n = _scan_partitions(df)
-    if n is None or n >= target:
-        return df
-    return df.repartition(target)
-
-
-# one scan partition per this many on-disk bytes for cheap relational
-# compute; ~4 MB compressed parquet ≈ 12-16 MB of in-memory rows
-_BYTES_PER_PART = 4 << 20
-
-
-def _path_bytes(path: str) -> int:
-    try:
-        if os.path.isdir(path):
-            return sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if not f.startswith((".", "_"))
-            )
-        return os.path.getsize(path)
-    except OSError:
-        return 0
-
-
-def spread_table(df: DataFrame, path: str) -> DataFrame:
-    """Byte-proportional spread for a relational table scan at ``path``
-    (local/posix paths only — object-store paths return 0 bytes and
-    no-op, which is correct: those deployments write real multi-row-
-    group files)."""
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    target = min(cores, _path_bytes(path) // _BYTES_PER_PART)
-    # a 2-3 way spread does not pay for its exchange — only rescue
-    # scans that leave most of the machine idle
-    if target < 4:
         return df
     n = _scan_partitions(df)
     if n is None or n >= target:

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from cogie_spark.functions.hashing import MINHASH_P, _perm_coeffs, base_hash28, h64, simhash64
 from cogie_spark.functions.text import char_shingles, tokens
-from cogie_spark.io.spread import spread_scan, spread_table
+from cogie_spark.io.spread import spread_scan
 from cogie_spark.operators.ann import brute_force_topk
 from cogie_spark.operators.dedup import (
     embedding_near_duplicates,
@@ -39,17 +39,16 @@ from cogie_spark.operators.vocab import build_vocab
 
 # ------------------------------------------------------------------ helpers
 
-def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
-    # spread=True: byte-proportional scan spread (io/spread.py) for
-    # queries whose SCAN STAGE carries the compute (partial aggregation,
-    # broadcast-join probe, narrow heavy projections) — the sandbox
-    # tables ship 1-6 parquet row groups, so those stages otherwise run
-    # on 1-6 tasks. Deliberately NOT applied to scans feeding a shuffle
-    # join (q08): the join exchange re-partitions anyway, so a spread
-    # there is one extra full shuffle for nothing (A/B-measured loss).
-    path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
-    return spread_table(df, path) if spread else df
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # read plain — NO scan spread here. A round-6 interleaved A/B
+    # measured a pre-spread repartition LOSING on every relational
+    # shape tried: shuffle joins re-partition anyway (q08), and cheap
+    # per-row aggregation/broadcast-probe work (q01/q04) costs less on
+    # the row-group-bound scan than one extra full shuffle of the
+    # table. spread_scan pays ONLY where heavy per-row compute
+    # (regex/shingle/hash/cosine) is fused into a narrow scan — those
+    # call sites opt in explicitly (q10/q24/q32, the corpus plan).
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # DuckDB-side text helpers (must mirror functions/text.py exactly)
@@ -119,7 +118,7 @@ def _money_sum(col: str, alias: str):
 def q01(spark, sf_dir):
     """TPC-H Q1 shape: filtered grouped aggregation (A1/A11; pushdown-
     friendly filter reaches the parquet scan)."""
-    li = _t(spark, sf_dir, "lineitem", spread=True)
+    li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_quantity") < 50)
         .groupBy("l_returnflag", "l_linestatus")
@@ -211,7 +210,7 @@ def q14(spark, sf_dir):
 def q04(spark, sf_dir):
     """J1 dict-lookup enrichment as broadcast hash joins
     (el_toolkit.py:131-143)."""
-    li = _t(spark, sf_dir, "lineitem", spread=True)
+    li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     s = _t(spark, sf_dir, "supplier")
     return (
@@ -376,7 +375,10 @@ def q10(spark, sf_dir):
     """A1 word count + A2 top-k by frequency (vocabulary.py:115-124,152)
     + P6 min-freq HAVING + W7 dense index (vocabulary.py:144-165): the
     vocabulary dim table, top-50 by frequency."""
-    d = spread_scan(_t(spark, sf_dir, "documents"))
+    # no spread: token explode + count is cheap per byte (relational
+    # class) — the round-6 interleaved A/B measured the spread's extra
+    # exchange as a consistent ~0.3 s loss at sf0.1, flat at sf1.0
+    d = _t(spark, sf_dir, "documents")
     return (
         build_vocab(d, "text", min_freq=20, n_special=2)
         .orderBy(F.desc("count"), F.asc("word"))
@@ -830,9 +832,10 @@ def q24(spark, sf_dir):
     flat-IP indexer restated as broadcast crossJoin + window top-k)."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.filter("vec_id < 3").select(F.col("vec_id").alias("probe_id"), "embedding")
-    # the |corpus| x |probes| cosine work fuses into the corpus scan
-    # stage — spread it (the probe side stays a tiny broadcast build)
-    return brute_force_topk(spread_scan(emb), probes, k=5)
+    # no spread: measured flat both ways in the round-6 interleaved A/B
+    # (3 probes x 20k vectors is too little work to amortize an extra
+    # exchange) — keep the r5 plan
+    return brute_force_topk(emb, probes, k=5)
 
 
 @q(
