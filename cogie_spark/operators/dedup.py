@@ -63,7 +63,13 @@ def minhash_near_duplicates(
     no per-shingle md5 string round-trip) is safe for throughput paths.
     Because 'fast' estimates word-gram (not char-shingle) similarity,
     its cascade floor is widened so borderline true pairs are never
-    pruned before the exact verify.
+    pruned before the exact verify. Adversarial recall bound
+    (measured, tests/test_operators.py::
+    test_fast_family_recall_on_word_boundary_edits): on long-token
+    docs mutated by word-boundary deletions — char-Jaccard ≥ 0.9 but
+    depressed word-gram similarity — 'fast' recalls 0.783 of true
+    pairs where 'portable' recalls 1.0; choose 'portable' when recall
+    in the char-shingle domain must be analytic.
 
     ``release_into``: optional list collecting this call's persisted
     frames (signature table, pair table, block caches) so loop-style

@@ -721,6 +721,12 @@ def q32(spark, sf_dir):
     word-gram similarity (e.g. heavy word-boundary edits) — CAN be
     missed; agreement with the oracle is empirically validated on the
     sf0.01/sf0.1 fixtures (pair-identical output, 131 pairs at sf0.1).
+    The gap is now MEASURED (VERDICT r5 #6, tests/test_operators.py::
+    test_fast_family_recall_on_word_boundary_edits): on an adversarial
+    corpus of long-token docs with 5 word-boundary deletions each
+    (char-J ≥ 0.9 by construction), mode='fast' recalls 0.783 of the
+    60 true pairs where mode='portable' recalls 1.0 — both with exact
+    precision.
     For an analytic recall bound in the oracle's own domain, use
     mode='portable' (char-shingle signatures, ~5x slower hashing).
     (The testdata has planted near-dup documents — the clones union

@@ -935,3 +935,72 @@ def test_substring_dedup_validates_winnow(spark):
         substring_dedup(df, "doc_id", "text", k=5, winnow=0)
     with pytest.raises(ValueError, match="winnow"):
         substring_dedup(df, "doc_id", "text", k=5, winnow=6)
+
+
+def test_fast_family_recall_on_word_boundary_edits(spark):
+    """Adversarial recall bound for the 'fast' signature family
+    (VERDICT r5 #6): word-boundary deletions between LONG tokens keep
+    char-8-shingle Jaccard >= 0.9 (each deleted space perturbs ~14 of
+    >1000 shingles) while destroying ~3 word-3-grams per edit — the
+    documented pathological case where banding over word-gram
+    signatures under-recalls relative to the char-shingle domain the
+    threshold speaks. Pins the measured behavior: mode='portable'
+    (char-shingle signatures) recalls ALL such pairs; mode='fast'
+    recalls most but NOT all (0.783 at this fixed seed — the gap is
+    real and stated in the operator docstring). Precision is exact for
+    both (the char-shingle verify)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cogie_spark.functions.text import char_shingles
+    from cogie_spark.operators.dedup import minhash_near_duplicates
+
+    rng = random.Random(3)
+    stems = [
+        "preprocessing", "tokenization", "deserialization", "orchestration",
+        "parallelization", "checkpointing", "deduplication", "vectorization",
+        "normalization", "regularization", "initialization", "synchronization",
+        "quantization", "serialization", "partitioning",
+    ]
+    docs = []
+    for i in range(60):
+        words = [rng.choice(stems) + str(rng.randint(100, 999)) for _ in range(70)]
+        base = " ".join(words)
+        docs.append((2 * i, base))
+        chars = list(base)
+        spaces = [j for j, c in enumerate(chars) if c == " "]
+        for j in rng.sample(spaces, 5):  # 5 word-boundary deletions
+            chars[j] = ""
+        docs.append((2 * i + 1, "".join(chars)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # ground truth: brute-force exact char-shingle Jaccard >= 0.9
+    sh = df.select("doc_id", char_shingles("text", k=8).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("inter", F.size(F.array_intersect("a.sh", "b.sh")))
+        .withColumn(
+            "j", F.col("inter") / (F.size("a.sh") + F.size("b.sh") - F.col("inter"))
+        )
+        .filter("j >= 0.9")
+        .select(F.col("a.doc_id").alias("l"), F.col("b.doc_id").alias("r"))
+    )
+    tp = {(r["l"], r["r"]) for r in truth.collect()}
+    assert len(tp) == 60  # every planted mutation survives at char level
+
+    recall = {}
+    for mode in ("fast", "portable"):
+        out = minhash_near_duplicates(
+            df, id_col="doc_id", text_col="text", jaccard_threshold=0.9, mode=mode
+        )
+        got = {(r["left_id"], r["right_id"]) for r in out.collect()}
+        assert not (got - tp), f"{mode}: emitted a pair below the exact threshold"
+        recall[mode] = len(got & tp) / len(tp)
+
+    assert recall["portable"] == 1.0, recall
+    # the stated adversarial bound for the throughput family: strictly
+    # below 1 here (the gap exists) but at least 0.7 (it degrades, not
+    # collapses). Deterministic at this seed: observed 0.783.
+    assert 0.7 <= recall["fast"] < 1.0, recall
