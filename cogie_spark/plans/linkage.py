@@ -337,24 +337,32 @@ def run_linkage(
     if cfg.id_col != "file_id":
         comp = comp.withColumnRenamed("file_id", cfg.id_col)
 
-    # every representative gets a cluster: singletons map to themselves
-    rep_clusters = (
-        files.select(cfg.id_col)
-        .join(comp, cfg.id_col, "left")
-        .select(
-            F.col(cfg.id_col).alias("_rep_id"),
-            F.coalesce("cluster_id", F.col(cfg.id_col)).alias("cluster_id"),
-        )
-    )
+    # every file gets a cluster: singletons map to themselves
     if file2rep is not None:
-        # expand back to all files: identical-content members inherit
-        # their representative's cluster (broadcast-sized rep side is
-        # not guaranteed, so this is a plain shuffled equi-join on rep)
-        clusters = file2rep.join(rep_clusters, "_rep_id").select(
-            F.col(cfg.id_col).alias("file_id"), "cluster_id"
+        # file2rep already maps EVERY file to its representative, so
+        # one left join against the component table suffices — members
+        # inherit coalesce(rep's component min, rep id). The former
+        # two-join form (files ⋈ comp to build rep_clusters, then
+        # file2rep ⋈ rep_clusters) joined the rep universe twice for
+        # the same rows (r6: one join/shuffle stage removed, output
+        # identical by construction — comp's nodes are a subset of the
+        # reps file2rep maps onto).
+        comp_r = comp.select(
+            F.col(cfg.id_col).alias("_rep_id"), F.col("cluster_id")
+        )
+        clusters = file2rep.join(comp_r, "_rep_id", "left").select(
+            F.col(cfg.id_col).alias("file_id"),
+            F.coalesce("cluster_id", F.col("_rep_id")).alias("cluster_id"),
         )
     else:
-        clusters = rep_clusters.withColumnRenamed("_rep_id", "file_id")
+        clusters = (
+            files.select(cfg.id_col)
+            .join(comp, cfg.id_col, "left")
+            .select(
+                F.col(cfg.id_col).alias("file_id"),
+                F.coalesce("cluster_id", F.col(cfg.id_col)).alias("cluster_id"),
+            )
+        )
     if checkpoint is not None:
         clusters = checkpoint.commit("clusters", clusters)
 
