@@ -59,8 +59,6 @@ def clean_corpus(docs: DataFrame, cfg: CorpusConfig | None = None) -> dict:
     by the redacted form when cfg.redact).
     """
     cfg = cfg or CorpusConfig()
-    t = cfg.text_col
-
     tagged = _tag(docs, cfg)
     return {"tagged": tagged, "kept": kept_from_docs(docs, cfg)}
 

@@ -19,7 +19,7 @@ run_pair() { # $1 = sf dir, $2 = pair idx
 for sf in /root/testdata/sf0.1 /root/testdata/sf1.0; do
   for i in $(seq 1 "$PAIRS"); do
     # wait for a healthy window (cap the wait per pair at ~40 min)
-    for try in $(seq 1 40); do
+    for try in $(seq 1 150); do
       b=$(probe)
       ok=$(python -c "print(1 if $b >= $FLOOR else 0)")
       [ "$ok" = "1" ] && break
