@@ -58,13 +58,36 @@ def _scan_partitions(df: DataFrame) -> int | None:
         return None
 
 
-def spread_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for the frame (sum of file sizes
+    for scan-rooted plans) — cheap, no job."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+# below this estimated input size the spread exchange + extra stage
+# scheduling cost exceeds what parallelizing the fused compute saves —
+# the round-6 interleaved A/B measured q32 ~0.5 s SLOWER with a spread
+# over its 0.6 MB sf0.1 input and 2-8 s FASTER over 5.9 MB at sf1.0
+_MIN_SPREAD_BYTES = 2 << 20
+
+
+def spread_scan(
+    df: DataFrame, min_parts: int | None = None, min_bytes: int = _MIN_SPREAD_BYTES
+) -> DataFrame:
     """Repartition a narrow scan-rooted frame up to ``min_parts``
     (default: defaultParallelism) when its scan parallelism is below
-    that. No-op for already-wide scans (real-scale inputs) and for
-    plans with wide operators (probe not safe there)."""
+    that AND its estimated size is at least ``min_bytes`` (too-small
+    inputs cannot amortize the exchange). No-op for already-wide scans
+    (real-scale inputs) and for plans with wide operators (probe not
+    safe there)."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if target <= 1 or not _narrow_plan(df):
+        return df
+    size = _plan_size_bytes(df)
+    if size is not None and size < min_bytes:
         return df
     n = _scan_partitions(df)
     if n is None or n >= target:
