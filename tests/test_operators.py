@@ -580,19 +580,31 @@ def test_cc_local_fast_path_equivalent(spark):
     edges += [(b, a) for a, b in edges[:30]]
     df = spark.createDataFrame(edges, "left_id string, right_id string")
 
-    fast = {tuple(r) for r in connected_components(df).collect()}
-    star = {tuple(r) for r in connected_components(df, local_max_edges=0).collect()}
+    # release_into + explicit unpersist: this test must not leave
+    # session-persisted checkpoint RDDs behind — the async ContextCleaner
+    # would release them DURING a later test's persistent-RDD
+    # before/after accounting (the midloop-failure test) and break it
+    released: list = []
+    fast = {tuple(r) for r in connected_components(df, release_into=released).collect()}
+    star = {
+        tuple(r)
+        for r in connected_components(
+            df, local_max_edges=0, release_into=released
+        ).collect()
+    }
     assert fast == star
     # long-ids (the near_dup_prune shape) keep their type through the
     # fast path's mapInPandas schema
     dfl = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "left_id long, right_id long"
     )
-    got = connected_components(dfl)
+    got = connected_components(dfl, release_into=released)
     assert dict(got.dtypes) == {"file_id": "bigint", "cluster_id": "bigint"}
     assert {tuple(r) for r in got.collect()} == {
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10)
     }
+    for h in released:
+        h.unpersist()
 
 
 def test_cc_midloop_failure_releases_checkpoints(spark, monkeypatch):
